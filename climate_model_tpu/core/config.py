@@ -1,0 +1,159 @@
+"""Run configuration.
+
+TPU-native rebuild of the reference's ``namelist.py`` (SURVEY.md §2.1 row 1 [C]:
+grid extent/spacing, sigma levels, CFL, time-stepping scheme, per-subsystem
+switches ``i_radiation``/``i_microphysics``/``i_turbulence``/``i_soil``,
+per-tendency switches, output/restart cadence, working precision).
+
+Design departures from the reference (SURVEY.md §7.1):
+  * the reference's mutable module-global namelist becomes frozen, hashable
+    dataclasses so every switch is a static argument under ``jax.jit``;
+  * ``i_comp_mode`` (Numba-CPU vs CUDA twin kernels) becomes ``backend``
+    selecting jnp reference operators vs fused Pallas kernels behind one
+    operator interface;
+  * dt is fixed at init from the CFL bound instead of per-step host reductions
+    (SURVEY.md §3.1 rebuild note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Lat-lon-sigma grid extent. Mirrors reference namelist grid block.
+
+    The domain spans ``lat0_deg..lat1_deg`` with rigid walls at both
+    meridional boundaries (the reference's polar-row handling) and is
+    periodic in longitude.
+    """
+
+    nx: int = 64                 # longitude cells
+    ny: int = 32                 # latitude cells
+    nz: int = 8                  # sigma levels
+    lon0_deg: float = 0.0
+    lon1_deg: float = 360.0
+    lat0_deg: float = -80.0      # southern rigid wall
+    lat1_deg: float = 80.0       # northern rigid wall
+    ptop: float = 10_000.0       # pressure at model top [Pa]
+    psurf: float = 101_350.0     # reference surface pressure [Pa]
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Physics parameterization switches + parameters (reference ``i_*`` flags)."""
+
+    microphysics: bool = False   # i_microphysics
+    radiation: bool = False      # i_radiation
+    surface: bool = False        # i_soil / i_surface
+    turbulence: bool = False     # i_turbulence
+    rad_every_steps: int = 6     # radiation substep interval (i_rad_nth_*)
+    # Microphysics parameters
+    qc_autoconv_time: float = 1000.0   # cloud->rain conversion timescale [s]
+    qc_autoconv_threshold: float = 5e-4  # cloud water threshold [kg/kg]
+    # Turbulence parameters
+    diff_coef_momentum: float = 1.0    # vertical eddy diffusivity K_m [m2 s-1]
+    diff_coef_scalar: float = 1.0      # vertical eddy diffusivity K_h [m2 s-1]
+    # Surface parameters
+    drag_coef: float = 1.3e-3          # bulk exchange coefficient C_H=C_E
+    soil_heat_capacity: float = 2.0e6  # areal heat capacity [J m-2 K-1]
+    ocean_heat_capacity: float = 2.0e8 # areal heat capacity of slab ocean
+    albedo_land: float = 0.25
+    albedo_ocean: float = 0.08
+    evap_efficiency_land: float = 0.3
+    solar_constant: float = 1365.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericsConfig:
+    """Time integration + per-tendency switches (reference ``i_*_tendency``)."""
+
+    time_stepping: str = "matsuno"      # 'matsuno' | 'rk4' | 'euler'
+    cfl: float = 0.7
+    dt: Optional[float] = None          # fixed dt [s]; None -> derive from CFL at init
+    wind_tendency: bool = True          # i_wind_tendency
+    temperature_tendency: bool = True   # i_temperature_tendency
+    colp_tendency: bool = True          # i_colp_tendency
+    moisture_tendency: bool = True      # i_moisture_tendency
+    # Horizontal diffusion (numerical smoothing, reference UVFLX_dif_coef /
+    # POTT_hor_dif_tau analogues). Coefficients are nondimensional multiples
+    # of dx^2/dt-scaled Laplacian smoothing.
+    diff_uv: float = 0.0
+    diff_pott: float = 0.0
+    diff_moist: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh layout for 2-D lat-lon domain decomposition (SURVEY.md §5)."""
+
+    mesh_lat: int = 1
+    mesh_lon: int = 1
+    mode: str = "auto"     # 'auto' (GSPMD jit) | 'shard_map' (explicit ppermute halos)
+    halo_overlap: bool = False  # interior-compute/halo-comm overlap (shard_map mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Top-level config: everything static under jit, hashable."""
+
+    grid: GridConfig = GridConfig()
+    physics: PhysicsConfig = PhysicsConfig()
+    numerics: NumericsConfig = NumericsConfig()
+    sharding: ShardingConfig = ShardingConfig()
+    dtype: str = "float32"              # working precision 'wp' of the reference
+    backend: str = "jnp"                # 'jnp' | 'pallas' operator implementations
+    sim_days: float = 1.0
+    out_every_hours: float = 6.0        # i_out_nth_hour
+    restart_every_days: float = 1.0     # i_restart_nth_day
+    seed: int = 0
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.md milestone configs as presets.
+# ---------------------------------------------------------------------------
+
+def baseline_config(n: int) -> ModelConfig:
+    """Milestone configs #1..#5 from BASELINE.md."""
+    if n == 1:    # dry core, coarse, 100 steps, CPU allclose gate
+        return ModelConfig(
+            grid=GridConfig(nx=64, ny=32, nz=8),
+            physics=PhysicsConfig(),
+            numerics=NumericsConfig(moisture_tendency=False),
+        )
+    if n == 2:    # moist core at 1.5 deg, 500 steps
+        return ModelConfig(
+            grid=GridConfig(nx=240, ny=120, nz=16),
+            physics=PhysicsConfig(microphysics=True),
+            numerics=NumericsConfig(),
+        )
+    if n == 3:    # full physics at 1 deg, single chip
+        return ModelConfig(
+            grid=GridConfig(nx=360, ny=180, nz=32),
+            physics=PhysicsConfig(
+                microphysics=True, radiation=True, surface=True, turbulence=True
+            ),
+        )
+    if n == 4:    # 0.5 deg, multi-host domain decomposition
+        return ModelConfig(
+            grid=GridConfig(nx=720, ny=360, nz=32),
+            physics=PhysicsConfig(
+                microphysics=True, radiation=True, surface=True, turbulence=True
+            ),
+            sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"),
+        )
+    if n == 5:    # 0.25 deg climatology
+        return ModelConfig(
+            grid=GridConfig(nx=1440, ny=720, nz=32),
+            physics=PhysicsConfig(
+                microphysics=True, radiation=True, surface=True, turbulence=True
+            ),
+            sharding=ShardingConfig(mesh_lat=4, mesh_lon=8, mode="shard_map"),
+            sim_days=5.0,
+        )
+    raise ValueError(f"unknown baseline config {n}")
