@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract): prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures grid-points/s/chip for BASELINE config #3 (full physics columns at
+1 deg, 360x180x32 — the single-chip headline config in BASELINE.md) on the
+default device. ``vs_baseline`` is the fraction of the HBM speed-of-light
+roofline (the reference publishes no benchmark numbers; see BASELINE.md and
+climate_model_tpu/bench/roofline.py).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from climate_model_tpu.bench.throughput import run_benchmark
+    result = run_benchmark(baseline=3, steps=20, dtype="float32")
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""CLI driver.
+
+TPU-native rebuild of the reference driver script ``solver.py`` (SURVEY.md
+§2.1 [C] / §3.1): build grid + fields + physics, main loop with output,
+restart and diagnostics on their intervals, final timing report. Design
+departures (§7.1): argparse CLI over config presets (the reference had
+``python solver.py`` with a hand-edited namelist module), fixed dt, stepping
+in jitted ``lax.scan`` chunks sized to the output cadence, diagnostics
+fetched per chunk, persistent XLA compilation cache.
+
+Usage:
+  python -m climate_model_tpu run --baseline 1 --days 1 --out-dir out/
+  python -m climate_model_tpu run --nx 64 --ny 32 --nz 8 --physics all
+  python -m climate_model_tpu bench --baseline 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def _enable_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_config(args) -> "ModelConfig":
+    from .core.config import (GridConfig, ModelConfig, NumericsConfig,
+                              PhysicsConfig, baseline_config)
+    if args.baseline:
+        cfg = baseline_config(args.baseline)
+    else:
+        phys_on = args.physics == "all"
+        cfg = ModelConfig(
+            grid=GridConfig(nx=args.nx, ny=args.ny, nz=args.nz),
+            physics=PhysicsConfig(
+                microphysics=phys_on or "mic" in args.physics,
+                radiation=phys_on or "rad" in args.physics,
+                surface=phys_on or "srf" in args.physics,
+                turbulence=phys_on or "turb" in args.physics),
+            numerics=NumericsConfig(time_stepping=args.stepper),
+        )
+    if args.dtype:
+        cfg = cfg.replace(dtype=args.dtype)
+    if args.days is not None:
+        cfg = cfg.replace(sim_days=args.days)
+    return cfg
+
+
+def cmd_run(args) -> int:
+    _enable_cache()
+    import jax
+
+    from .core.init import initialize
+    from .dycore.stepper import run_scan
+    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.metrics import MetricsLogger, diagnostics
+    from .io.netcdf import NCWriter
+    from .model import make_step_fn
+
+    cfg = build_config(args)
+    state, forcing, grid = initialize(cfg)
+    if args.restart_from:
+        state = load_checkpoint(args.restart_from, cfg)
+        print(f"resumed from {args.restart_from} at step {int(state.step)}")
+
+    dt = float(grid.dt)
+    n_total = int(cfg.sim_days * 86400.0 / dt)
+    chunk = max(int(cfg.out_every_hours * 3600.0 / dt), 1)
+    gc = cfg.grid
+    logger = MetricsLogger(
+        jsonl_path=os.path.join(args.out_dir, "metrics.jsonl")
+        if args.out_dir else None,
+        grid_points=gc.nx * gc.ny * gc.nz)
+    writer = NCWriter(args.out_dir) if args.out_dir else None
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    step = make_step_fn(cfg)
+
+    @jax.jit
+    def run_chunk(s):
+        s = run_scan(step, s, grid, forcing, chunk)
+        return s, diagnostics(s, grid)
+
+    print(f"grid {gc.nx}x{gc.ny}x{gc.nz}  dt={dt:.1f}s  steps={n_total}  "
+          f"chunk={chunk}  device={jax.devices()[0].platform}", flush=True)
+    t0 = time.time()
+    done = 0
+    restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
+    next_restart = restart_every
+    while done < n_total:
+        state, diag = run_chunk(state)
+        state = jax.block_until_ready(state)
+        done += chunk
+        rec = logger.log_chunk(diag)
+        if rec["nan"]:
+            print("!! non-finite state detected; aborting", flush=True)
+            return 2
+        if writer:
+            writer.write(state, grid, forcing)
+        if args.out_dir and done >= next_restart:
+            save_checkpoint(os.path.join(args.out_dir, "restart.npz"),
+                            state, cfg)
+            next_restart += restart_every
+    wall = time.time() - t0
+    gps = gc.nx * gc.ny * gc.nz * done / wall
+    print(f"done: {done} steps in {wall:.1f}s  "
+          f"({gps/1e6:.2f} M grid-points/s)", flush=True)
+    if args.out_dir:
+        save_checkpoint(os.path.join(args.out_dir, "restart.npz"), state, cfg)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    _enable_cache()
+    from .bench.throughput import run_benchmark
+    result = run_benchmark(baseline=args.baseline, steps=args.steps,
+                           dtype=args.dtype or "float32",
+                           backend=args.backend)
+    import json
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="climate_model_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run a simulation")
+    pr.add_argument("--baseline", type=int, default=0,
+                    help="BASELINE.md milestone config 1..5")
+    pr.add_argument("--nx", type=int, default=64)
+    pr.add_argument("--ny", type=int, default=32)
+    pr.add_argument("--nz", type=int, default=8)
+    pr.add_argument("--physics", default="none",
+                    help="'none', 'all', or comma list of mic,rad,srf,turb")
+    pr.add_argument("--stepper", default="matsuno",
+                    choices=["matsuno", "euler", "rk4"])
+    pr.add_argument("--days", type=float, default=None)
+    pr.add_argument("--dtype", default=None)
+    pr.add_argument("--out-dir", default=None)
+    pr.add_argument("--restart-from", default=None)
+    pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    pb.add_argument("--baseline", type=int, default=3)
+    pb.add_argument("--steps", type=int, default=50)
+    pb.add_argument("--dtype", default=None)
+    pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,11 +46,11 @@ class Grid:
 
     # data fields (arrays, participate in the pytree)
     lat: jax.Array        # (ny,)   cell-center latitude [rad]
-    lats: jax.Array       # (ny+1,) face (v-row) latitude [rad]; lats[0]=south wall
+    lats: jax.Array       # (ny,)   south-face (v-row) latitude [rad]; lats[0]=south wall
     lon: jax.Array        # (nx,)   cell-center longitude [rad]
     lonu: jax.Array       # (nx,)   u-face longitude [rad]
     dx: jax.Array         # (ny,)   zonal grid spacing at cell centers [m]
-    dxs: jax.Array        # (ny+1,) zonal grid spacing at v faces [m]
+    dxs: jax.Array        # (ny,)   zonal grid spacing at v faces (south) [m]
     dy: jax.Array         # ()      meridional grid spacing [m]
     area: jax.Array       # (ny,)   exact spherical cell area [m2]
     area_u: jax.Array     # (ny,)   u-cell area (== area: lat-only dependence) [m2]
@@ -87,17 +87,18 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
     dlat = (lat1 - lat0) / ny
     dlon = (lon1 - lon0) / nx
 
-    lats = lat0 + dlat * np.arange(ny + 1)          # faces (v rows + walls)
-    lat = 0.5 * (lats[:-1] + lats[1:])              # centers
+    faces = lat0 + dlat * np.arange(ny + 1)         # all faces (v rows + walls)
+    lats = faces[:-1]                               # south faces (v rows)
+    lat = 0.5 * (faces[:-1] + faces[1:])            # centers
     lonu = lon0 + dlon * np.arange(nx)              # u faces (west faces)
     lon = lonu + 0.5 * dlon                         # centers
 
     dy = c.R_EARTH * dlat
     dx = c.R_EARTH * dlon * np.cos(lat)
-    dxs = c.R_EARTH * dlon * np.cos(lats)
+    dxs = c.R_EARTH * dlon * np.cos(lats)   # at stored (south) v rows
 
     # Exact spherical areas: A = rE^2 * dlon * (sin(lat_n) - sin(lat_s))
-    area = c.R_EARTH**2 * dlon * (np.sin(lats[1:]) - np.sin(lats[:-1]))
+    area = c.R_EARTH**2 * dlon * (np.sin(faces[1:]) - np.sin(faces[:-1]))
     area_u = area.copy()
     # v cell spans center row j-1 .. center row j; row 0 is the wall (unused,
     # set to the adjacent area to avoid divide-by-zero).
@@ -106,9 +107,9 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
     area_v[0] = area[0]
 
     corf = 2.0 * c.OMEGA * np.sin(lat)
-    corf_v = 2.0 * c.OMEGA * np.sin(lats[:-1])
+    corf_v = 2.0 * c.OMEGA * np.sin(lats)
     tan_lat = np.tan(lat)
-    tan_lat_v = np.tan(lats[:-1])
+    tan_lat_v = np.tan(lats)
 
     sigma_vb = np.linspace(0.0, 1.0, nz + 1)
     sigma = 0.5 * (sigma_vb[:-1] + sigma_vb[1:])

@@ -79,7 +79,8 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
 
     # Zonal jet at u points (same latitude rows as centers); vanishes at walls.
     latu = grid_np.lat[None, :, None]
-    lat0, lat1 = grid_np.lats[0], grid_np.lats[-1]
+    lat0 = grid_np.lats[0]
+    lat1 = 2.0 * grid_np.lat[-1] - grid_np.lats[-1]   # north wall
     ujet_shape = np.sin(np.pi * (latu - lat0) / (lat1 - lat0)) ** 2
     u = u_jet * ujet_shape * (1.0 - sig) * np.ones((nz, ny, nx))
     v = np.zeros((nz, ny, nx))
@@ -90,7 +91,10 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     qv = RH0 * (grid_np.sigma[:, None, None] ** 2) * qsat_water(tair, pair, np)
     qc = np.zeros((nz, ny, nx))
 
-    tsurf = T0 - 55.0 * np.sin(lat) ** 2 - 0.0065 * hsurf
+    # Surface starts 1 K warmer than the lowest-layer air (weakly unstable,
+    # so surface fluxes engage immediately); the meridional structure comes
+    # from radiation + the surface energy budget during the run.
+    tsurf = tair[-1] + 1.0
     state = dict(u=u, v=v, colp=colp, pott=pott, qv=qv, qc=qc,
                  tsurf=tsurf, rain=np.zeros((ny, nx)))
     forcing = dict(hsurf=hsurf, land_mask=land, albedo=albedo,

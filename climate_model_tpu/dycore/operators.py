@@ -100,7 +100,7 @@ def continuity(u, v, colp, colp_base, dt, grid: Grid) -> Continuity:
     (continuity.py / continuity_cuda.py, SURVEY.md §2.1 [C])."""
     colp_u = 0.5 * (bc.west(colp) + colp)
     colp_v = 0.5 * (bc.south_clamp(colp) + colp)
-    dxs = grid.dxs[:-1][None, :, None]
+    dxs = grid.dxs[None, :, None]
 
     uflx = u * colp_u[None] * grid.dy
     vflx = bc.enforce_v_walls(v * colp_v[None] * dxs)
@@ -149,13 +149,16 @@ def scalar_tendency(q, cont: Continuity, colp, grid: Grid,
     return dqdt
 
 
-def horizontal_diffusion(q, colp_face, grid: Grid, coef: float) -> jnp.ndarray:
-    """COLP-weighted 5-point Laplacian smoothing (NUMERICS.md); zero-flux at
-    the lat walls via edge clamping. Reference analogue: UVFLX_dif_coef /
-    POTT_hor_dif_tau horizontal diffusion [P]."""
+def horizontal_diffusion(q, colp_face, grid: Grid, coef: float,
+                         is_v: bool = False) -> jnp.ndarray:
+    """COLP-weighted 5-point Laplacian smoothing (NUMERICS.md): zero-flux at
+    the lat walls via edge clamping for scalars and u; for v the wall value
+    itself (v == 0 on the walls) is the neighbor beyond the last row.
+    Reference analogue: UVFLX_dif_coef / POTT_hor_dif_tau [P]."""
     dx2 = (grid.dx ** 2)[None, :, None]
+    north = bc.north_zero(q) if is_v else bc.north_clamp(q)
     lap = (bc.east(q) - 2.0 * q + bc.west(q)) / dx2 \
-        + (bc.north_clamp(q) - 2.0 * q + bc.south_clamp(q)) / grid.dy ** 2
+        + (north - 2.0 * q + bc.south_clamp(q)) / grid.dy ** 2
     return coef * colp_face * lap
 
 
@@ -230,6 +233,7 @@ def momentum_tendency(u, v, pott, colp, cont: Continuity, diag: Diagnostics,
 
     dvdt = adv_v + vadv_v + cor_v + pgf_v
     if diff_coef:
-        dvdt = dvdt + horizontal_diffusion(v, colp_v, grid, diff_coef)
+        dvdt = dvdt + horizontal_diffusion(v, colp_v, grid, diff_coef,
+                                           is_v=True)
     dvdt = bc.enforce_v_walls(dvdt)
     return dudt, dvdt

@@ -110,15 +110,18 @@ def scalar_tendency(q, cont, colp, grid, source=None, diff_coef=0.0):
     return dqdt
 
 
-def diffusion(q, colp_face, grid, coef):
+def diffusion(q, colp_face, grid, coef, is_v=False):
     nz, ny, nx = q.shape
     out = np.zeros_like(q)
     for k in range(nz):
         for j in range(ny):
             js = max(j - 1, 0)
-            jn = min(j + 1, ny - 1)
+            if j + 1 < ny:
+                q_n = q[k, j + 1]
+            else:
+                q_n = np.zeros(nx) if is_v else q[k, ny - 1]
             lap = (_e(q[k])[j] - 2.0 * q[k, j] + _w(q[k])[j]) / grid.dx[j] ** 2 \
-                + (q[k, jn] - 2.0 * q[k, j] + q[k, js]) / grid.dy ** 2
+                + (q_n - 2.0 * q[k, j] + q[k, js]) / grid.dy ** 2
             out[k, j] = coef * colp_face[min(k, colp_face.shape[0] - 1), j] * lap
     return out
 
@@ -206,7 +209,7 @@ def momentum_tendency(u, v, pott, colp, cont, diag, grid, diff_coef=0.0):
         colp_v_full[0] = colp[0]
         for j in range(1, ny):
             colp_v_full[j] = 0.5 * (colp[j - 1] + colp[j])
-        dvdt += diffusion(v, colp_v_full[None, :, :], grid, diff_coef)
+        dvdt += diffusion(v, colp_v_full[None, :, :], grid, diff_coef, is_v=True)
     dvdt[:, 0, :] = 0.0
     return dudt, dvdt
 
@@ -264,3 +267,48 @@ def step_matsuno(state, dt, grid, hsurf, moisture=True, dpottdt_src=None,
     t2 = tendencies(pred, state["colp"], dt, grid, hsurf, moisture,
                     dpottdt_src, **diff)
     return proceed(state, t2, dt, grid, moisture)
+
+
+# ---------------------------------------------------------------------------
+# Moist physics oracle (BASELINE milestone config #2: "QV advection + simple
+# moisture physics"). Mirrors physics/microphysics.py per docs/NUMERICS.md
+# conventions; written with per-level loops.
+# ---------------------------------------------------------------------------
+
+def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
+                      qc_autoconv_threshold=5e-4):
+    from ..physics.thermo import qsat_water
+
+    d = diagnose(state["colp"], state["pott"], hsurf, grid)
+    nz = grid.nz
+    new = dict(state)
+    pott = state["pott"].copy()
+    qv = state["qv"].copy()
+    qc = state["qc"].copy()
+    rain = state["rain"].copy()
+    frac = 1.0 - np.exp(-dt / qc_autoconv_time)
+    for k in range(nz):
+        pair = 0.5 * (d["pvb"][k] + d["pvb"][k + 1])
+        tair = pott[k] * d["pvtf"][k]
+        qsat = qsat_water(tair, pair, np)
+        gamma = 1.0 + (c.L_V ** 2) * qsat / (c.C_P * c.R_V * tair ** 2)
+        dq = (qv[k] - qsat) / gamma
+        cond = np.maximum(dq, 0.0)
+        evap = np.minimum(qc[k], np.maximum(-dq, 0.0))
+        dqc = cond - evap
+        qv[k] -= dqc
+        qc[k] += dqc
+        pott[k] += (c.L_V / c.C_P) * dqc / d["pvtf"][k]
+        to_rain = np.maximum(qc[k] - qc_autoconv_threshold, 0.0) * frac
+        qc[k] -= to_rain
+        rain += to_rain * state["colp"] * grid.dsigma[k] / c.G
+    new.update(pott=pott, qv=np.maximum(qv, 0.0), qc=np.maximum(qc, 0.0),
+               rain=rain)
+    return new
+
+
+def step_moist(state, dt, grid, hsurf, **mp_kw):
+    """One full moist step: Matsuno dynamics + microphysics split
+    (mirrors model.make_step_fn with microphysics only)."""
+    s = step_matsuno(state, dt, grid, hsurf, moisture=True)
+    return microphysics_step(s, grid, hsurf, dt, **mp_kw)

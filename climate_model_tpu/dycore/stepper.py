@@ -87,15 +87,77 @@ def step_rk4(state: State, grid: Grid, forcing: Forcing,
 _STEPPERS = {"matsuno": step_matsuno, "euler": step_euler, "rk4": step_rk4}
 
 
+def _fused_matsuno_step_fn(cfg: ModelConfig):
+    """Matsuno stepper on the fused Pallas substep kernel
+    (kernels/fused_substep.py): predictor + corrector are each ONE kernel
+    launch; physics sources/splits stay jnp around it."""
+    import numpy as np
+
+    from ..core.grid import make_grid
+    from ..kernels.fused_substep import GEO_FIELDS, make_fused_substep
+
+    gc, num = cfg.grid, cfg.numerics
+    grid_np = make_grid(gc, num, np_mode=True)
+    nz, ny, nx = gc.nz, gc.ny, gc.nx
+    bj = cfg_block_rows(cfg)
+    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+              with_rad=cfg.physics.radiation,
+              diff_uv=num.diff_uv, diff_pott=num.diff_pott,
+              diff_moist=num.diff_moist,
+              dtype=jnp.dtype(cfg.dtype),
+              # Mosaic compiles on TPU only; CPU (tests/virtual devices)
+              # runs the same kernel through the pallas interpreter.
+              interpret=jax.default_backend() == "cpu")
+    pred_k = make_fused_substep(nz, ny, nx, bj=bj, same_base=True, **kw)
+    corr_k = make_fused_substep(nz, ny, nx, bj=bj, same_base=False, **kw)
+    with_rad = cfg.physics.radiation
+
+    def step(state: State, grid: Grid, forcing: Forcing) -> State:
+        geo = jnp.stack([getattr(grid, f) for f in GEO_FIELDS], axis=1)
+        rad = (state.dpottdt_rad,) if with_rad else ()
+        p = pred_k(state.u, state.v, state.pott, state.qv, state.qc,
+                   state.colp, forcing.hsurf, geo, *rad)
+        out = corr_k(p[0], p[1], p[2], p[3], p[4], p[5], forcing.hsurf, geo,
+                     state.u, state.v, state.pott, state.qv, state.qc,
+                     state.colp, *rad)
+        return state.replace(u=out[0], v=out[1], pott=out[2], qv=out[3],
+                             qc=out[4], colp=out[5])
+
+    return step
+
+
+def cfg_block_rows(cfg: ModelConfig) -> int:
+    """Pick the lat-tile height for the fused kernel: the largest divisor of
+    ny that is <= 16 and leaves >= 2 tiles (VMEM budget vs DMA halo
+    overhead, see kernels/fused_substep.py)."""
+    ny = cfg.grid.ny
+    for bj in (16, 12, 10, 8, 6, 5, 4, 3, 2):
+        if ny % bj == 0 and ny // bj >= 2:
+            return bj
+    raise ValueError(f"no valid fused-kernel tile height for ny={ny}")
+
+
 def dynamics_step_fn(cfg: ModelConfig):
     """Select the dynamics stepper for ``cfg`` (reference namelist
-    ``i_time_stepping`` [C]) with the static config bound:
+    ``i_time_stepping`` [C]; ``cfg.backend`` replaces the reference's
+    ``i_comp_mode`` CPU/CUDA switch) with the static config bound:
     returns ``step(state, grid, forcing) -> state``."""
+    ts = cfg.numerics.time_stepping
+    if cfg.backend == "pallas":
+        if ts != "matsuno":
+            raise ValueError("backend='pallas' supports matsuno only")
+        if not (cfg.numerics.wind_tendency and cfg.numerics.colp_tendency
+                and cfg.numerics.temperature_tendency
+                and cfg.numerics.moisture_tendency):
+            raise ValueError("backend='pallas' requires all tendencies on "
+                             "(per-term switches are a jnp-backend debug "
+                             "feature)")
+        return _fused_matsuno_step_fn(cfg)
     try:
-        raw = _STEPPERS[cfg.numerics.time_stepping]
+        raw = _STEPPERS[ts]
     except KeyError:
         raise ValueError(
-            f"unknown time_stepping {cfg.numerics.time_stepping!r}; "
+            f"unknown time_stepping {ts!r}; "
             f"choose from {sorted(_STEPPERS)}") from None
 
     def step(state: State, grid: Grid, forcing: Forcing) -> State:

@@ -1,0 +1,69 @@
+"""Turbulent vertical diffusion (K-closure).
+
+TPU-native rebuild of the reference ``turbulence.py`` / ``turb_main.py``
+(SURVEY.md §2.1 [C]: vertical turbulent mixing of momentum, heat and moisture
+between levels; surface-layer exchange handled by the surface model;
+explicit scheme [P]).
+
+Column-local: flux-form diffusion in height coordinates reconstructed from
+the hydrostatic geopotential, explicit in time (K dt / dz^2 << 1 for
+K ~ O(1-10) m2/s and dz ~ O(500 m) at the model's dt).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import constants as c
+from ..core.config import ModelConfig
+from ..core.grid import Grid
+from ..core.state import Forcing, State
+from ..dycore import boundaries as bc
+from ..dycore import operators as ops
+
+
+def turbulence_step(state: State, grid: Grid, forcing: Forcing,
+                    cfg: ModelConfig, dt) -> State:
+    p = cfg.physics
+    diag = ops.diagnose(state.colp, state.pott, forcing.hsurf, grid)
+    z_c = diag.phi / c.G                         # layer-center heights
+    z_vb = diag.phivb / c.G
+    dz_c = z_vb[:-1] - z_vb[1:]                  # layer thickness (>0)
+    dz_vb = z_c[:-1] - z_c[1:]                   # center-to-center (>0)
+
+    pair_vb = diag.pvb[1:-1]
+    tair_vb = 0.5 * (diag.tair[:-1] + diag.tair[1:])
+    rho_vb = pair_vb / (c.R_D * tair_vb)
+    rho_c = (diag.pvb[1:] - diag.pvb[:-1]) / (c.G * dz_c)
+
+    def diffuse(x, k_coef, dzc, dzvb, rvb, rc):
+        # Upward(+z)-positive diffusive flux at interior borders:
+        #   F[ks] = -K rho_vb dx/dz = -K rho_vb (x[ks-1]-x[ks])/dz_vb
+        # layer k tendency: dx/dt = (F[k+1]-F[k]) / (rho_c dz_c)
+        # (top/bottom F = 0; the surface-flux boundary is the surface model's).
+        grad = (x[:-1] - x[1:]) / dzvb
+        flux = -k_coef * rvb * grad
+        zero = jnp.zeros_like(flux[:1])
+        flux = jnp.concatenate([zero, flux, zero], axis=0)
+        return x + dt * (flux[1:] - flux[:-1]) / (rc * dzc)
+
+    pott = diffuse(state.pott, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
+    qv = diffuse(state.qv, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
+    qc = diffuse(state.qc, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
+
+    # Momentum: reuse column geometry averaged to the staggered points.
+    dz_c_u = 0.5 * (bc.west(dz_c) + dz_c)
+    dz_vb_u = 0.5 * (bc.west(dz_vb) + dz_vb)
+    rvb_u = 0.5 * (bc.west(rho_vb) + rho_vb)
+    rc_u = 0.5 * (bc.west(rho_c) + rho_c)
+    u = diffuse(state.u, p.diff_coef_momentum, dz_c_u, dz_vb_u, rvb_u, rc_u)
+
+    dz_c_v = 0.5 * (bc.south_clamp(dz_c) + dz_c)
+    dz_vb_v = 0.5 * (bc.south_clamp(dz_vb) + dz_vb)
+    rvb_v = 0.5 * (bc.south_clamp(rho_vb) + rho_vb)
+    rc_v = 0.5 * (bc.south_clamp(rho_c) + rho_c)
+    v = bc.enforce_v_walls(
+        diffuse(state.v, p.diff_coef_momentum, dz_c_v, dz_vb_v, rvb_v, rc_v))
+
+    return state.replace(u=u, v=v, pott=pott,
+                         qv=jnp.maximum(qv, 0.0), qc=jnp.maximum(qc, 0.0))

@@ -1,23 +1,33 @@
 """Test configuration.
 
-All tests run on CPU with 8 virtual devices (for sharding tests) and fp64
-enabled (for oracle comparisons), per SURVEY.md §4 "Distributed without a
-cluster". Must set env vars before jax initializes a backend.
+All tests run on CPU with 8 virtual devices (for the sharding suite) and
+fp64 enabled (for oracle comparisons), per SURVEY.md §4 "Distributed without
+a cluster".
+
+CAUTION: this environment PRE-IMPORTS jax before pytest starts (so
+JAX_PLATFORMS/env-var tricks are latched too late) and pre-sets
+JAX_PLATFORMS=axon (a tunneled TPU). The backend, however, is not yet
+initialized, so ``jax.config.update`` + XLA_FLAGS below still take effect.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (usually already imported; config still mutable)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; backend was initialized before conftest could "
+    "reconfigure it")
+assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

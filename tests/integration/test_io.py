@@ -1,0 +1,105 @@
+"""IO subsystem tests: NetCDF output, checkpoint/restart, metrics, CLI.
+
+SURVEY.md §5: checkpoint/resume must be bit-exact (the reference's pickled
+restarts were); NetCDF output must carry the reference's field set.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from climate_model_tpu.core.config import GridConfig, ModelConfig
+from climate_model_tpu.core.init import initialize
+from climate_model_tpu.dycore.stepper import run_scan
+from climate_model_tpu.io.checkpoint import (config_fingerprint,
+                                             load_checkpoint, save_checkpoint)
+from climate_model_tpu.io.metrics import MetricsLogger, diagnostics
+from climate_model_tpu.io.netcdf import NCWriter
+from climate_model_tpu.model import make_step_fn
+
+
+@pytest.fixture()
+def small_run():
+    cfg = ModelConfig(grid=GridConfig(nx=16, ny=10, nz=4), dtype="float64")
+    state, forcing, grid = initialize(cfg)
+    return cfg, state, forcing, grid
+
+
+def test_checkpoint_bit_exact_resume(small_run, tmp_path):
+    cfg, state, forcing, grid = small_run
+    step = make_step_fn(cfg)
+    run5 = jax.jit(lambda s: run_scan(step, s, grid, forcing, 5))
+
+    mid = jax.block_until_ready(run5(state))
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, mid, cfg)
+    resumed = load_checkpoint(path, cfg)
+    a = jax.block_until_ready(run5(mid))
+    b = jax.block_until_ready(run5(resumed))
+    for name in ("u", "v", "colp", "pott", "qv", "qc", "t", "step"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)), err_msg=name)
+
+
+def test_checkpoint_refuses_config_mismatch(small_run, tmp_path):
+    cfg, state, forcing, grid = small_run
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, state, cfg)
+    other = cfg.replace(dtype="float32")
+    assert config_fingerprint(other) != config_fingerprint(cfg)
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_checkpoint(path, other)
+
+
+def test_netcdf_output_fields(small_run, tmp_path):
+    from scipy.io import netcdf_file
+
+    cfg, state, forcing, grid = small_run
+    w = NCWriter(str(tmp_path))
+    p = w.write(state, grid, forcing)
+    assert os.path.exists(os.path.join(str(tmp_path), "constants.nc"))
+    with netcdf_file(p, "r") as f:
+        for name in ("UWIND", "VWIND", "WWIND", "POTT", "TAIR", "PHI",
+                     "QV", "QC", "PSURF", "COLP", "RAIN", "TSURF", "time"):
+            assert name in f.variables, name
+        assert f.variables["UWIND"].shape == (1, 4, 10, 16)
+        assert f.variables["WWIND"].shape == (1, 5, 10, 16)
+        tair = f.variables["TAIR"][0]
+        assert 180.0 < tair.mean() < 320.0
+    with netcdf_file(os.path.join(str(tmp_path), "constants.nc"), "r") as f:
+        assert "HSURF" in f.variables and "LAND_MASK" in f.variables
+
+
+def test_metrics_logger(small_run, tmp_path):
+    cfg, state, forcing, grid = small_run
+    d = diagnostics(state, grid)
+    assert not bool(d.nan_flag)
+    assert 85000.0 < float(d.mean_colp) < 95000.0
+    jsonl = str(tmp_path / "m.jsonl")
+    logger = MetricsLogger(jsonl_path=jsonl, grid_points=16 * 10 * 4,
+                           quiet=True)
+    rec = logger.log_chunk(d)
+    with open(jsonl) as f:
+        read_back = json.loads(f.read().strip())
+    assert read_back["mean_colp"] == rec["mean_colp"]
+    assert "grid_points_per_s" in read_back
+
+
+def test_cli_run_and_restart(tmp_path):
+    from climate_model_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    rc = main(["run", "--nx", "16", "--ny", "10", "--nz", "4",
+               "--days", "0.05", "--dtype", "float64", "--out-dir", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "restart.npz"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "out_0000.nc"))
+    # resume from the restart file
+    rc = main(["run", "--nx", "16", "--ny", "10", "--nz", "4",
+               "--days", "0.05", "--dtype", "float64",
+               "--restart-from", os.path.join(out, "restart.npz")])
+    assert rc == 0

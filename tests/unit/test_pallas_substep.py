@@ -1,0 +1,130 @@
+"""Fused Pallas substep kernel vs the jnp operators (interpret mode, fp64).
+
+SURVEY.md §7.2 step 7: every Pallas kernel is interchangeable with its jnp
+reference form and is unit-tested against it (the jnp forms are themselves
+oracle-tested, so equality here closes the chain to docs/NUMERICS.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climate_model_tpu.core.config import GridConfig, ModelConfig, NumericsConfig
+from climate_model_tpu.core.grid import make_grid
+from climate_model_tpu.core.init import initial_state_np
+from climate_model_tpu.dycore.tendencies import proceed, tendencies
+from climate_model_tpu.kernels.fused_substep import GEO_FIELDS, make_fused_substep
+
+from .test_dycore_vs_oracle import _jnp_state
+
+
+def _geo(grid):
+    return jnp.stack([getattr(grid, f) for f in GEO_FIELDS], axis=1)
+
+
+def _setup(nx=32, ny=16, nz=8, seed=0):
+    cfg = ModelConfig(grid=GridConfig(nx=nx, ny=ny, nz=nz), dtype="float64",
+                      numerics=NumericsConfig())
+    st, fo, grid_np = initial_state_np(cfg)
+    r = np.random.default_rng(seed)
+    st["u"] += r.normal(0, 1.0, st["u"].shape)
+    v = st["v"] + r.normal(0, 1.0, st["v"].shape)
+    v[:, 0, :] = 0.0
+    st["v"] = v
+    st["pott"] += r.normal(0, 1.0, st["pott"].shape)
+    st["qv"] = np.abs(st["qv"])
+    grid = make_grid(cfg.grid, cfg.numerics, dtype=jnp.float64)
+    state, forcing = _jnp_state(st, fo, cfg)
+    return cfg, state, forcing, grid, grid_np
+
+
+@pytest.mark.parametrize("bj", [4, 8])
+def test_predictor_matches_jnp(bj):
+    cfg, state, forcing, grid, grid_np = _setup()
+    dt = float(grid_np.dt)
+    t1 = tendencies(state, state.colp, dt, grid, forcing, cfg)
+    ref = proceed(state, t1, dt)
+
+    sub = make_fused_substep(
+        grid.nz, grid.ny, grid.nx, bj=bj, same_base=True,
+        dt=dt, dy=float(grid_np.dy), ptop=grid.ptop, with_rad=False,
+        dtype=jnp.float64, interpret=True)
+    u, v, pott, qv, qc, colp = sub(state.u, state.v, state.pott, state.qv,
+                                   state.qc, state.colp, forcing.hsurf,
+                                   _geo(grid))
+    for name, got in [("u", u), ("v", v), ("pott", pott), ("qv", qv),
+                      ("qc", qc), ("colp", colp)]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(getattr(ref, name)),
+            rtol=1e-11, atol=1e-11, err_msg=f"{name} bj={bj}")
+
+
+def test_corrector_matches_jnp():
+    cfg, state, forcing, grid, grid_np = _setup()
+    dt = float(grid_np.dt)
+    # jnp Matsuno step
+    t1 = tendencies(state, state.colp, dt, grid, forcing, cfg)
+    pred = proceed(state, t1, dt)
+    t2 = tendencies(pred, state.colp, dt, grid, forcing, cfg)
+    ref = proceed(state, t2, dt)
+
+    kw = dict(dt=dt, dy=float(grid_np.dy), ptop=grid.ptop, with_rad=False,
+              dtype=jnp.float64, interpret=True)
+    sub_p = make_fused_substep(grid.nz, grid.ny, grid.nx, bj=8,
+                               same_base=True, **kw)
+    sub_c = make_fused_substep(grid.nz, grid.ny, grid.nx, bj=8,
+                               same_base=False, **kw)
+    geo = _geo(grid)
+    p = sub_p(state.u, state.v, state.pott, state.qv, state.qc, state.colp,
+              forcing.hsurf, geo)
+    out = sub_c(p[0], p[1], p[2], p[3], p[4], p[5], forcing.hsurf, geo,
+                state.u, state.v, state.pott, state.qv, state.qc, state.colp)
+    for name, got in zip(("u", "v", "pott", "qv", "qc", "colp"), out):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(getattr(ref, name)),
+            rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_with_radiation_source_and_diffusion():
+    cfg, state, forcing, grid, grid_np = _setup()
+    cfg = cfg.replace(
+        physics=cfg.physics.__class__(radiation=True),
+        numerics=cfg.numerics.__class__(diff_uv=5e4, diff_pott=5e4,
+                                        diff_moist=5e4))
+    rad = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1e-5, state.pott.shape))
+    state = state.replace(dpottdt_rad=rad)
+    dt = float(grid_np.dt)
+    t1 = tendencies(state, state.colp, dt, grid, forcing, cfg)
+    ref = proceed(state, t1, dt)
+
+    sub = make_fused_substep(
+        grid.nz, grid.ny, grid.nx, bj=8, same_base=True,
+        dt=dt, dy=float(grid_np.dy), ptop=grid.ptop, with_rad=True,
+        diff_uv=5e4, diff_pott=5e4, diff_moist=5e4,
+        dtype=jnp.float64, interpret=True)
+    out = sub(state.u, state.v, state.pott, state.qv, state.qc, state.colp,
+              forcing.hsurf, _geo(grid), rad)
+    for name, got in zip(("u", "v", "pott", "qv", "qc", "colp"), out):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(getattr(ref, name)),
+            rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_backend_pallas_full_step_matches_jnp():
+    """cfg.backend='pallas' end-to-end (dynamics_step_fn dispatch) over
+    several Matsuno steps equals the jnp backend."""
+    from climate_model_tpu.dycore.stepper import dynamics_step_fn
+
+    cfg, state, forcing, grid, grid_np = _setup()
+    step_jnp = dynamics_step_fn(cfg)
+    step_pal = dynamics_step_fn(cfg.replace(backend="pallas"))
+    a, b = state, state
+    for _ in range(3):
+        a = step_jnp(a, grid, forcing)
+        b = step_pal(b, grid, forcing)
+    for name in ("u", "v", "colp", "pott", "qv", "qc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            rtol=1e-10, atol=1e-10, err_msg=name)
