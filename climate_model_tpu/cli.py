@@ -31,7 +31,10 @@ def _enable_cache():
 def build_config(args) -> "ModelConfig":
     from .core.config import (GridConfig, ModelConfig, NumericsConfig,
                               PhysicsConfig, baseline_config)
-    if args.baseline:
+    if getattr(args, "config", None):
+        from .core.namelist import load_config
+        cfg = load_config(args.config)
+    elif args.baseline:
         cfg = baseline_config(args.baseline)
     else:
         phys_on = args.physics == "all"
@@ -48,6 +51,8 @@ def build_config(args) -> "ModelConfig":
         cfg = cfg.replace(dtype=args.dtype)
     if args.days is not None:
         cfg = cfg.replace(sim_days=args.days)
+    if getattr(args, "backend_override", None):
+        cfg = cfg.replace(backend=args.backend_override)
     return cfg
 
 
@@ -116,6 +121,14 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    _enable_cache()
+    cfg = build_config(args)
+    from .bench.profile import profile_subsystems
+    profile_subsystems(cfg, trace_dir=args.trace_dir)
+    return 0
+
+
 def cmd_bench(args) -> int:
     _enable_cache()
     from .bench.throughput import run_benchmark
@@ -132,6 +145,8 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="run a simulation")
+    pr.add_argument("--config", default=None,
+                    help="TOML namelist (see configs/*.toml)")
     pr.add_argument("--baseline", type=int, default=0,
                     help="BASELINE.md milestone config 1..5")
     pr.add_argument("--nx", type=int, default=64)
@@ -145,6 +160,8 @@ def main(argv=None) -> int:
     pr.add_argument("--dtype", default=None)
     pr.add_argument("--out-dir", default=None)
     pr.add_argument("--restart-from", default=None)
+    pr.add_argument("--backend", dest="backend_override", default=None,
+                    choices=["jnp", "pallas"])
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
@@ -153,6 +170,23 @@ def main(argv=None) -> int:
     pb.add_argument("--dtype", default=None)
     pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("profile",
+                        help="per-subsystem timing breakdown (+ trace)")
+    pp.add_argument("--config", default=None)
+    pp.add_argument("--baseline", type=int, default=0)
+    pp.add_argument("--nx", type=int, default=64)
+    pp.add_argument("--ny", type=int, default=32)
+    pp.add_argument("--nz", type=int, default=8)
+    pp.add_argument("--physics", default="all")
+    pp.add_argument("--stepper", default="matsuno")
+    pp.add_argument("--days", type=float, default=None)
+    pp.add_argument("--dtype", default=None)
+    pp.add_argument("--backend", dest="backend_override", default=None,
+                    choices=["jnp", "pallas"])
+    pp.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace here")
+    pp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -89,17 +89,22 @@ _STEPPERS = {"matsuno": step_matsuno, "euler": step_euler, "rk4": step_rk4}
 
 def _fused_matsuno_step_fn(cfg: ModelConfig):
     """Matsuno stepper on the fused Pallas substep kernel
-    (kernels/fused_substep.py): predictor + corrector are each ONE kernel
-    launch; physics sources/splits stay jnp around it."""
-    import numpy as np
-
+    (kernels/fused_substep.py): pack the state into the kernel's
+    (lat, k, lon) lane-padded layout once, run predictor + corrector as ONE
+    kernel launch each chained in packed space, unpack once; physics
+    sources/splits stay jnp around it."""
     from ..core.grid import make_grid
-    from ..kernels.fused_substep import GEO_FIELDS, make_fused_substep
+    from ..kernels.fused_substep import (GEO_FIELDS, make_fused_substep_packed,
+                                        pack2, pack3, pack_geo, pack_state,
+                                        pick_block_rows, unpack2, unpack3)
 
     gc, num = cfg.grid, cfg.numerics
     grid_np = make_grid(gc, num, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
-    bj = cfg_block_rows(cfg)
+    itemsize = jnp.dtype(cfg.dtype).itemsize
+    # corrector (same_base=False) has the larger footprint; use one bj for both
+    bj = pick_block_rows(nz, ny, nx, same_base=False,
+                         with_rad=cfg.physics.radiation, itemsize=itemsize)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=cfg.physics.radiation,
               diff_uv=num.diff_uv, diff_pott=num.diff_pott,
@@ -108,33 +113,25 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
               # Mosaic compiles on TPU only; CPU (tests/virtual devices)
               # runs the same kernel through the pallas interpreter.
               interpret=jax.default_backend() == "cpu")
-    pred_k = make_fused_substep(nz, ny, nx, bj=bj, same_base=True, **kw)
-    corr_k = make_fused_substep(nz, ny, nx, bj=bj, same_base=False, **kw)
+    pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
+    corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False, **kw)
     with_rad = cfg.physics.radiation
 
     def step(state: State, grid: Grid, forcing: Forcing) -> State:
-        geo = jnp.stack([getattr(grid, f) for f in GEO_FIELDS], axis=1)
-        rad = (state.dpottdt_rad,) if with_rad else ()
-        p = pred_k(state.u, state.v, state.pott, state.qv, state.qc,
-                   state.colp, forcing.hsurf, geo, *rad)
-        out = corr_k(p[0], p[1], p[2], p[3], p[4], p[5], forcing.hsurf, geo,
-                     state.u, state.v, state.pott, state.qv, state.qc,
-                     state.colp, *rad)
-        return state.replace(u=out[0], v=out[1], pott=out[2], qv=out[3],
-                             qc=out[4], colp=out[5])
+        geo_p = pack_geo(jnp.stack([getattr(grid, f) for f in GEO_FIELDS],
+                                   axis=1), bj)
+        hs_p = pack2(forcing.hsurf, bj)
+        rad_p = (pack3(state.dpottdt_rad, bj),) if with_rad else ()
+        base = pack_state(state.u, state.v, state.pott, state.qv, state.qc,
+                          state.colp, bj)
+        p = pred_k(*base, hs_p, *rad_p, geo_p)
+        out = corr_k(*p, *base, hs_p, *rad_p, geo_p)
+        return state.replace(
+            u=unpack3(out[0], nz, ny, nx), v=unpack3(out[1], nz, ny, nx),
+            pott=unpack3(out[2], nz, ny, nx), qv=unpack3(out[3], nz, ny, nx),
+            qc=unpack3(out[4], nz, ny, nx), colp=unpack2(out[5], ny, nx))
 
     return step
-
-
-def cfg_block_rows(cfg: ModelConfig) -> int:
-    """Pick the lat-tile height for the fused kernel: the largest divisor of
-    ny that is <= 16 and leaves >= 2 tiles (VMEM budget vs DMA halo
-    overhead, see kernels/fused_substep.py)."""
-    ny = cfg.grid.ny
-    for bj in (16, 12, 10, 8, 6, 5, 4, 3, 2):
-        if ny % bj == 0 and ny // bj >= 2:
-            return bj
-    raise ValueError(f"no valid fused-kernel tile height for ny={ny}")
 
 
 def dynamics_step_fn(cfg: ModelConfig):

@@ -15,21 +15,29 @@ per substep, which is the HBM speed-of-light traffic floor (BASELINE.json
 "fused Pallas stencil kernels ... speed-of-light HBM-bandwidth per chip";
 bench/roofline.py implements the byte model).
 
-Design:
-  * grid over latitude tiles of BJ rows; each tile is DMAed from HBM into
-    VMEM with a 2-row halo on each side (halo 2, not 1, because COLP_new and
-    WWIND are tile-local intermediates that themselves need a 1-row halo).
-    Tiles overlap by 4 rows; DMA overhead = (BJ+4)/BJ.
-  * double-buffered input DMA: while tile i computes, tile i+1 streams in
-    (pallas_guide 'Patterns: Double Buffering').
-  * longitude stays whole inside the tile, so the periodic seam is a free
-    in-VMEM lane roll; no lon halo.
-  * the polar walls are realized by ghost-row fills after DMA (edge clamp;
-    zero rows for v, whose stored wall row is already zero).
-  * vertical scans (hydrostatic geopotential, WWIND cumsum) are unrolled
-    python loops over the static nz.
-  * all scalars (dt, dy, ptop, sigma levels, switches) are STATIC kernel
-    constants — the sigma spacing is uniform by construction (core/grid.py).
+## Packed layout
+
+Mosaic constrains manual-DMA windows of HBM refs: lane extents must be
+multiples of 128 and sublane offsets/extents multiples of 8 (measured
+empirically on v5e), but the MAJOR dimension of a 3-D ref slices freely.
+The kernel therefore runs on a packed layout
+
+    packed[j, k, c] , shape (NYP, nz, NXP)        (latitude is dim 0!)
+
+with NXP = ceil((nx + 4)/128)*128 lanes: columns [GX, GX+nx) hold longitudes
+0..nx-1, columns [0, GX) and [GX+nx, 2*GX+nx) hold the periodic wrap (GX=2
+ghost columns each side — the lon seam becomes a static lane shift, no roll),
+the rest is dead padding. Rows: [2, 2+ny) are the physical latitudes with
+2 wall-ghost rows on each side (edge clamp; zeros for v) and optional dead
+pad rows up to NYP. 2-D fields travel as (NYP, 1, NXP).
+
+Latitude tiles of BJ rows stream through VMEM with a 2-row halo window
+(halo 2, not 1, because COLP_new and WWIND are tile-local intermediates that
+need their own 1-row halo); eval-state inputs and outputs are double-buffered
+(pallas_guide 'Patterns: Double Buffering'), corrector base-state streams are
+single-buffered to stay inside VMEM. The kernel maintains the ghost columns
+and wall-ghost rows of its outputs, so packed substeps chain without
+re-packing; pack/unpack (XLA transpose+concat) happens once per model step.
 
 The jnp operators in dycore/operators.py are the numerical oracle for this
 kernel (tests/unit/test_pallas_substep.py, interpret mode, fp64).
@@ -47,171 +55,187 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import constants as c
 
-# geometry column layout in the (ny, NGEO) geo input
 GEO_FIELDS = ("area", "area_v", "dx", "dxs", "corf", "corf_v",
               "tan_lat", "tan_lat_v")
 NGEO = len(GEO_FIELDS)
-HALO = 2
+HALO = 2          # row halo each side
+GX = 2            # periodic ghost columns each side
 
 
-def _roll_w(x):
-    return jnp.roll(x, 1, axis=-1)
+def lane_pad(nx: int) -> int:
+    return -(-(nx + 2 * GX) // 128) * 128
 
 
-def _roll_e(x):
-    return jnp.roll(x, -1, axis=-1)
+def row_pad(ny: int, bj: int) -> int:
+    nt = -(-ny // bj)
+    return nt * bj + 2 * HALO
 
+
+# ---------------------------------------------------------------------------
+# Pack / unpack (XLA side; once per model step)
+# ---------------------------------------------------------------------------
+
+def pack3(x, bj: int, zero_ghost: bool = False):
+    """(nz, ny, nx) -> (NYP, nz, NXP) packed (see module docstring)."""
+    nz, ny, nx = x.shape
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    xt = jnp.transpose(x, (1, 0, 2))                        # (ny, nz, nx)
+    xt = jnp.concatenate([xt[..., -GX:], xt, xt[..., :GX]], axis=-1)
+    xt = jnp.concatenate(
+        [xt, jnp.zeros((ny, nz, nxp - nx - 2 * GX), x.dtype)], axis=-1)
+    if zero_ghost:
+        south = jnp.zeros_like(xt[:HALO])
+        north = jnp.zeros_like(xt[:1])
+    else:
+        south = jnp.broadcast_to(xt[:1], (HALO,) + xt.shape[1:])
+        north = xt[-1:]
+    north = jnp.broadcast_to(north, (nyp - ny - HALO,) + xt.shape[1:])
+    return jnp.concatenate([south, xt, north], axis=0)
+
+
+def pack2(x, bj: int, zero_ghost: bool = False):
+    return pack3(x[None], bj, zero_ghost)                   # (NYP, 1, NXP)
+
+
+def unpack3(xp, nz: int, ny: int, nx: int):
+    """(NYP, nz, NXP) -> (nz, ny, nx)."""
+    xt = xp[HALO:HALO + ny, :, GX:GX + nx]
+    return jnp.transpose(xt, (1, 0, 2))
+
+
+def unpack2(xp, ny: int, nx: int):
+    return xp[HALO:HALO + ny, 0, GX:GX + nx]
+
+
+def pack_state(u, v, pott, qv, qc, colp, bj: int):
+    return (pack3(u, bj), pack3(v, bj, zero_ghost=True), pack3(pott, bj),
+            pack3(qv, bj), pack3(qc, bj), pack2(colp, bj))
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
 
 def _s(x):
-    """South(j-1) neighbor, tile-local, clamp at tile edge (edge rows of the
-    result are garbage unless the ghost fill made the clamp correct)."""
-    return jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
 
 
 def _n(x):
-    """North(j+1) neighbor, tile-local, clamp at tile edge."""
-    return jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+
+def _w(x):
+    return jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+
+
+def _e(x):
+    return jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+
+
+def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
+                    with_rad: bool, itemsize: int = 4,
+                    vmem_budget: int = 9 << 20) -> int:
+    """Largest tile height whose stream-buffer footprint fits the budget
+    (headroom left for Mosaic temporaries)."""
+    nxp = lane_pad(nx)
+    row3 = nz * nxp * itemsize
+    for bj in (32, 24, 16, 12, 8, 6, 4, 3, 2):
+        if -(-ny // bj) < 2:
+            continue
+        w = bj + 2 * HALO
+        eval_bufs = 5 * 2 * w * row3
+        base_bufs = (5 * 1 * w * row3) if not same_base else 0
+        rad_buf = (1 * w * row3) if with_rad else 0
+        small = 8 * w * nxp * itemsize
+        out_bufs = 5 * 2 * bj * row3 + 2 * bj * nxp * itemsize \
+            + 2 * HALO * row3
+        if eval_bufs + base_bufs + rad_buf + small + out_bufs <= vmem_budget:
+            return bj
+    raise ValueError(f"no viable fused-kernel tile height for ny={ny}")
 
 
 @functools.lru_cache(maxsize=32)
-def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
-                       same_base: bool, dt: float, dy: float, ptop: float,
-                       with_rad: bool, diff_uv: float = 0.0,
-                       diff_pott: float = 0.0, diff_moist: float = 0.0,
-                       dtype=jnp.float32, interpret: bool = False):
-    """Build the fused substep callable.
+def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
+                              same_base: bool, dt: float, dy: float,
+                              ptop: float, with_rad: bool,
+                              diff_uv: float = 0.0, diff_pott: float = 0.0,
+                              diff_moist: float = 0.0, dtype=jnp.float32,
+                              interpret: bool = False):
+    """Fused substep on PACKED arrays. Returns
+    ``f(u, v, pott, qv, qc, colp, hs, geo[, base 6][, rad]) -> 6 packed
+    outputs``; all array args packed ((NYP, nz|1, NXP)); geo is
+    (NYP, 1, NGEO)."""
+    if nz < 2:
+        raise ValueError("fused kernel requires nz >= 2")
+    nt = -(-ny // bj)
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    w = bj + 2 * HALO
+    sig_vb = [float(s) for s in np.linspace(0.0, 1.0, nz + 1)]
+    dsig = sig_vb[1] - sig_vb[0]
 
-    Returns ``f(u, v, pott, qv, qc, colp, hs, geo[, ub, vb, pottb, qvb,
-    qcb, colpb][, rad]) -> (u', v', pott', qv', qc', colp')``.
-
-    ``same_base=True`` is the Matsuno predictor (update from the eval state
-    itself); ``False`` streams the separate time-n base state (corrector).
-    """
-    if ny % bj != 0 or ny // bj < 2:
-        raise ValueError(f"ny={ny} must be a multiple of bj={bj} with >=2 tiles")
-    nt = ny // bj
-    bj4 = bj + 2 * HALO
-    sig_vb = np.linspace(0.0, 1.0, nz + 1)
-    dsig = float(sig_vb[1] - sig_vb[0])
-
-    # streamed arrays: (name, is3d, zero_ghost)
-    streams = [("u", True, False), ("v", True, True), ("pott", True, False),
-               ("qv", True, False), ("qc", True, False), ("colp", False, False)]
+    # streamed inputs: (name, nk, zero_ghost, slots)
+    streams = [("u", nz, False, 2), ("v", nz, True, 2), ("pott", nz, False, 2),
+               ("qv", nz, False, 2), ("qc", nz, False, 2),
+               ("colp", 1, False, 2)]
     if not same_base:
-        streams += [("ub", True, False), ("vb", True, True),
-                    ("pottb", True, False), ("qvb", True, False),
-                    ("qcb", True, False), ("colpb", False, False)]
-    streams += [("hs", False, False)]
+        streams += [("ub", nz, False, 1), ("vb", nz, True, 1),
+                    ("pottb", nz, False, 1), ("qvb", nz, False, 1),
+                    ("qcb", nz, False, 1), ("colpb", 1, False, 1)]
+    streams += [("hs", 1, False, 2)]
     if with_rad:
-        streams += [("rad", True, False)]
+        streams += [("rad", nz, False, 1)]
     n_streams = len(streams)
+    # outputs: u, v, pott, qv, qc (nz) + colp (1)
+    out_nk = [nz, nz, nz, nz, nz, 1]
+    out_zero_ghost = [False, True, False, False, False, False]
+    n_outs = 6
 
     def kernel(*refs):
         hbm = refs[:n_streams]
         geo_ref = refs[n_streams]
-        outs = refs[n_streams + 1: n_streams + 7]
-        bufs = refs[n_streams + 7: 2 * n_streams + 7]
-        sem = refs[2 * n_streams + 7]
+        hbm_out = refs[n_streams + 1:n_streams + 1 + n_outs]
+        scr = refs[n_streams + 1 + n_outs:]
+        bufs = scr[:n_streams]
+        sem_in = scr[n_streams]
+        obufs = scr[n_streams + 1:n_streams + 1 + n_outs]
+        sem_out = scr[n_streams + 1 + n_outs]
+        gbufs = scr[n_streams + 2 + n_outs:n_streams + 2 + 2 * n_outs]
+        sem_g = scr[n_streams + 2 + 2 * n_outs]
 
         i = pl.program_id(0)
 
-        def copies(tile, slot):
-            """Descriptors for all stream DMAs of `tile` into buffer `slot`."""
-            out = []
-            for k, (name, is3d, _) in enumerate(streams):
-                a, b = hbm[k], bufs[k]
-                # clamp: the mid window only executes for interior tiles,
-                # but interpret mode materializes every descriptor eagerly
-                j0 = jnp.clip(tile * bj - HALO, 0, ny - bj4)
-                if is3d:
-                    first = (a.at[:, pl.ds(0, bj + HALO), :],
-                             b.at[slot, :, pl.ds(HALO, bj + HALO), :])
-                    mid = (a.at[:, pl.ds(j0, bj4), :], b.at[slot])
-                    last = (a.at[:, pl.ds(ny - bj - HALO, bj + HALO), :],
-                            b.at[slot, :, pl.ds(0, bj + HALO), :])
-                else:
-                    first = (a.at[pl.ds(0, bj + HALO), :],
-                             b.at[slot, pl.ds(HALO, bj + HALO), :])
-                    mid = (a.at[pl.ds(j0, bj4), :], b.at[slot])
-                    last = (a.at[pl.ds(ny - bj - HALO, bj + HALO), :],
-                            b.at[slot, pl.ds(0, bj + HALO), :])
-                out.append((k, tile, first, mid, last))
-            return out
-
-        def issue(tile, slot):
-            for k, t, first, mid, last in copies(tile, slot):
-                @pl.when(t == 0)
-                def _():
-                    pltpu.make_async_copy(*first, sem.at[slot, k]).start()
-
-                @pl.when(jnp.logical_and(t > 0, t < nt - 1))
-                def _():
-                    pltpu.make_async_copy(*mid, sem.at[slot, k]).start()
-
-                @pl.when(t == nt - 1)
-                def _():
-                    pltpu.make_async_copy(*last, sem.at[slot, k]).start()
-
-        def wait(tile, slot):
-            for k, t, first, mid, last in copies(tile, slot):
-                @pl.when(t == 0)
-                def _():
-                    pltpu.make_async_copy(*first, sem.at[slot, k]).wait()
-
-                @pl.when(jnp.logical_and(t > 0, t < nt - 1))
-                def _():
-                    pltpu.make_async_copy(*mid, sem.at[slot, k]).wait()
-
-                @pl.when(t == nt - 1)
-                def _():
-                    pltpu.make_async_copy(*last, sem.at[slot, k]).wait()
+        def in_descr(k, tile, slot):
+            s = slot % streams[k][3]
+            return pltpu.make_async_copy(
+                hbm[k].at[pl.ds(tile * bj, w)], bufs[k].at[s],
+                sem_in.at[s, k]), s
 
         @pl.when(i == 0)
         def _():
-            issue(0, 0)
+            for k, st in enumerate(streams):
+                if st[3] == 2:
+                    in_descr(k, 0, 0)[0].start()
 
         @pl.when(i + 1 < nt)
         def _():
-            issue(i + 1, (i + 1) % 2)
+            for k, st in enumerate(streams):
+                if st[3] == 2:
+                    in_descr(k, i + 1, i + 1)[0].start()
+
+        for k, st in enumerate(streams):
+            if st[3] == 1:
+                in_descr(k, i, 0)[0].start()
+        for k, st in enumerate(streams):
+            in_descr(k, i, i if st[3] == 2 else 0)[0].wait()
 
         slot = i % 2
-        wait(i, slot)
-
-        # ---- ghost-row fills at the domain edges ----
-        for k, (name, is3d, zero_ghost) in enumerate(streams):
-            b = bufs[k]
-
-            @pl.when(i == 0)
-            def _(b=b, is3d=is3d, zero_ghost=zero_ghost):
-                for r in range(HALO):
-                    if is3d:
-                        src = jnp.zeros_like(b[slot, :, HALO, :]) \
-                            if zero_ghost else b[slot, :, HALO, :]
-                        b[slot, :, r, :] = src
-                    else:
-                        src = jnp.zeros_like(b[slot, HALO, :]) \
-                            if zero_ghost else b[slot, HALO, :]
-                        b[slot, r, :] = src
-
-            @pl.when(i == nt - 1)
-            def _(b=b, is3d=is3d, zero_ghost=zero_ghost):
-                for r in range(bj + HALO, bj4):
-                    if is3d:
-                        src = jnp.zeros_like(b[slot, :, bj + HALO - 1, :]) \
-                            if zero_ghost else b[slot, :, bj + HALO - 1, :]
-                        b[slot, :, r, :] = src
-                    else:
-                        src = jnp.zeros_like(b[slot, bj + HALO - 1, :]) \
-                            if zero_ghost else b[slot, bj + HALO - 1, :]
-                        b[slot, r, :] = src
-
-        # ---- load tile views ----
         by_name = {}
-        for k, (name, is3d, _) in enumerate(streams):
-            by_name[name] = bufs[k][slot]
+        for k, (name, nk, _, slots) in enumerate(streams):
+            by_name[name] = bufs[k][slot % slots]
+
         u, v, pt, qv, qc = (by_name["u"], by_name["v"], by_name["pott"],
                             by_name["qv"], by_name["qc"])
-        ce = by_name["colp"]
+        ce = by_name["colp"]                                # (w, 1, nxp)
         hs = by_name["hs"]
         if same_base:
             ub, vb, ptb, qvb, qcb, cb = u, v, pt, qv, qc, ce
@@ -220,33 +244,19 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
                                          by_name["pottb"], by_name["qvb"],
                                          by_name["qcb"], by_name["colpb"])
 
-        # geo rows for this tile: clamp the window inside [0, ny)
-        j0 = jnp.maximum(jnp.minimum(i * bj - HALO, ny - bj4), 0)
-        geo = geo_ref[pl.ds(j0, bj4), :]          # (bj4, NGEO)
-        # row offset of the tile window vs the clamped geo window
-        off = (i * bj - HALO) - j0                # -? only nonzero at edges
-        # Edge tiles: the geo window is shifted by +-HALO; roll rows to align
-        # so that geo row r corresponds to tile row r (ghost rows get edge
-        # values, which is the clamp semantics we want).
-        geo = jax.lax.cond(
-            off < 0,
-            lambda g: jnp.concatenate([g[:1]] * HALO + [g[:-HALO]], axis=0),
-            lambda g: g, geo)
-        geo = jax.lax.cond(
-            off > 0,
-            lambda g: jnp.concatenate([g[HALO:]] + [g[-1:]] * HALO, axis=0),
-            lambda g: g, geo)
+        geo = geo_ref[pl.ds(i * bj, w)]                     # (w, 1, NGEO)
 
         def gcol(name):
-            return geo[:, GEO_FIELDS.index(name)][:, None]   # (bj4, 1)
+            idx = GEO_FIELDS.index(name)
+            return geo[:, :, idx:idx + 1]                   # (w, 1, 1)
 
         area, area_v, dx, dxs = (gcol("area"), gcol("area_v"), gcol("dx"),
                                  gcol("dxs"))
         corf, corf_v = gcol("corf"), gcol("corf_v")
         tanl, tanl_v = gcol("tan_lat"), gcol("tan_lat_v")
 
-        # ---- diagnostics: Exner factors + geopotential (NUMERICS.md) ----
-        pvb = [ptop + sig_vb[ks] * ce for ks in range(nz + 1)]    # (bj4, nx)
+        # ---- diagnostics (NUMERICS.md): per-k lists of (w, 1, nxp) ----
+        pvb = [ptop + sig_vb[ks] * ce for ks in range(nz + 1)]
         pvtfvb = [(p / c.P_REF) ** c.KAPPA for p in pvb]
         pvtf = [(pvb[k + 1] * pvtfvb[k + 1] - pvb[k] * pvtfvb[k])
                 / ((1.0 + c.KAPPA) * (pvb[k + 1] - pvb[k]))
@@ -254,185 +264,208 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         phivb = c.G * hs
         phi = [None] * nz
         for k in range(nz - 1, -1, -1):
-            ptk = pt[k]
+            ptk = pt[:, k:k + 1]
             phi[k] = phivb + c.C_P * ptk * (pvtfvb[k + 1] - pvtf[k])
             phivb = phi[k] + c.C_P * ptk * (pvtf[k] - pvtfvb[k])
+        phi3 = jnp.concatenate(phi, axis=1)                 # (w, nz, nxp)
+        pvtf3 = jnp.concatenate(pvtf, axis=1)
 
         # ---- continuity ----
-        colp_u = 0.5 * (_roll_w(ce) + ce)
+        colp_u = 0.5 * (_w(ce) + ce)
         colp_v = 0.5 * (_s(ce) + ce)
-        uflx = u * colp_u[None] * dy                      # (nz, bj4, nx)
-        vflx = v * colp_v[None] * dxs[None]
-        div = (_roll_e(uflx) - uflx + _n(vflx) - vflx) / area[None]
-        dcolpdt = -jnp.sum(div, axis=0) * dsig            # (bj4, nx)
+        uflx = u * colp_u * dy
+        vflx = v * colp_v * dxs
+        div = (_e(uflx) - uflx + _n(vflx) - vflx) / area
+        dcolpdt = -jnp.sum(div, axis=1, keepdims=True) * dsig   # (w, 1, nxp)
         cn = cb + dt * dcolpdt
 
-        w_int = []                                        # borders 1..nz-1
+        w_int = []                                          # borders 1..nz-1
         acc = jnp.zeros_like(ce)
         for ks in range(1, nz):
-            acc = acc + div[ks - 1] * dsig
+            acc = acc + div[:, ks - 1:ks] * dsig
             w_int.append(-(acc + sig_vb[ks] * dcolpdt) / cn)
+        w3 = jnp.concatenate(w_int, axis=1) if nz > 1 else None
+
+        ctr = lambda x: x[HALO:HALO + bj]
+        cn_c, colp_c, cb_c = ctr(cn), ctr(ce), ctr(cb)
+        oslot = i % 2
+
+        def out_descr(o, tile, slot):
+            return pltpu.make_async_copy(
+                obufs[o].at[slot],
+                hbm_out[o].at[pl.ds(HALO + tile * bj, bj)],
+                sem_out.at[slot, o])
+
+        @pl.when(i >= 2)
+        def _():
+            for o in range(n_outs):
+                out_descr(o, i - 2, oslot).wait()
+
+        def fix_ghost_cols(new):
+            """Maintain the periodic wrap columns of an output tile."""
+            west = new[..., GX + nx - GX:GX + nx]           # logical nx-2..nx-1
+            east = new[..., GX:2 * GX]                      # logical 0..1
+            return jnp.concatenate(
+                [west, new[..., GX:GX + nx], east,
+                 new[..., 2 * GX + nx:]], axis=-1)
+
+        outs_new = [None] * n_outs
+
+        def store(o, new):
+            outs_new[o] = fix_ghost_cols(new)
+            obufs[o][oslot] = outs_new[o]
+
+        store(5, cn_c)
 
         # ---- scalar tendencies + proceed ----
-        ctr = lambda x: x[..., HALO:bj + HALO, :]          # center rows
-        cn_c = ctr(cn)
-        colp_c = ctr(ce)
-        cb_c = ctr(cb)
-        outs[5][...] = cn_c                                # colp out
-
-        def scalar_update(q, qb, out_ref, source=None, diff=0.0, clip=False):
-            fx = uflx * 0.5 * (_roll_w(q) + q)
+        def scalar_update(q, qb, o, source=None, diff=0.0, clip=False):
+            fx = uflx * 0.5 * (_w(q) + q)
             fy = vflx * 0.5 * (_s(q) + q)
-            dqdt = -(_roll_e(fx) - fx + _n(fy) - fy) / area[None]
-            dqdt = ctr(dqdt)
-            # vertical flux divergence on center rows only
-            fz = [None] * (nz + 1)
+            dqdt = ctr(-(_e(fx) - fx + _n(fy) - fy) / area)
+            fz = []
             for ks in range(1, nz):
-                fz[ks] = ctr(w_int[ks - 1]) * cn_c \
-                    * 0.5 * (ctr(q[ks - 1]) + ctr(q[ks]))
+                fz.append(ctr(w_int[ks - 1]) * cn_c
+                          * 0.5 * (ctr(q[:, ks - 1:ks]) + ctr(q[:, ks:ks + 1])))
+            zero = jnp.zeros_like(cn_c)
             vert = []
             for k in range(nz):
-                top = fz[k] if k > 0 else jnp.zeros_like(cn_c)
-                bot = fz[k + 1] if k + 1 < nz else jnp.zeros_like(cn_c)
+                top = fz[k - 1] if k > 0 else zero
+                bot = fz[k] if k < nz - 1 else zero
                 vert.append(-(bot - top) / dsig)
-            dqdt = dqdt + jnp.stack(vert, axis=0)
+            dqdt = dqdt + jnp.concatenate(vert, axis=1)
             if source is not None:
-                dqdt = dqdt + colp_c[None] * ctr(source)
+                dqdt = dqdt + colp_c * ctr(source)
             if diff:
-                lap = (_roll_e(q) - 2.0 * q + _roll_w(q)) / (dx[None] ** 2) \
-                    + (_n(q) - 2.0 * q + _s(q)) / dy ** 2
-                dqdt = dqdt + diff * colp_c[None] * ctr(lap)
-            new = (ctr(qb) * cb_c[None] + dt * dqdt) / cn_c[None]
+                lap = (_e(q) - 2.0 * q + _w(q)) / (dx * dx) \
+                    + (_n(q) - 2.0 * q + _s(q)) / (dy * dy)
+                dqdt = dqdt + diff * colp_c * ctr(lap)
+            new = (ctr(qb) * cb_c + dt * dqdt) / cn_c
             if clip:
                 new = jnp.maximum(new, 0.0)
-            out_ref[...] = new
+            store(o, new)
 
         rad = by_name.get("rad")
-        scalar_update(pt, ptb, outs[2], source=rad, diff=diff_pott)
-        scalar_update(qv, qvb, outs[3], diff=diff_moist, clip=True)
-        scalar_update(qc, qcb, outs[4], diff=diff_moist, clip=True)
+        scalar_update(pt, ptb, 2, source=rad, diff=diff_pott)
+        scalar_update(qv, qvb, 3, diff=diff_moist, clip=True)
+        scalar_update(qc, qcb, 4, diff=diff_moist, clip=True)
 
-        # ---- momentum ----
-        phi3 = jnp.stack(phi, axis=0)
-        pvtf3 = jnp.stack(pvtf, axis=0)
-        w3 = jnp.stack(w_int, axis=0)                      # (nz-1, bj4, nx)
+        # ---- momentum: u ----
+        fxc = 0.5 * (uflx + _e(uflx)) * 0.5 * (u + _e(u))
+        fyc = 0.5 * (_w(vflx) + vflx) * 0.5 * (_s(u) + u)
+        adv_u = -(fxc - _w(fxc) + _n(fyc) - fyc) / area
 
-        # u
-        fxc = 0.5 * (uflx + _roll_e(uflx)) * 0.5 * (u + _roll_e(u))
-        fyc = 0.5 * (_roll_w(vflx) + vflx) * 0.5 * (_s(u) + u)
-        adv_u = -(fxc - _roll_w(fxc) + _n(fyc) - fyc) / area[None]
-
-        w_u = 0.5 * (_roll_w(w3) + w3)
-        cn_u = 0.5 * (_roll_w(cn) + cn)
-        fzs = [w_u[ks - 1] * cn_u * 0.5 * (u[ks - 1] + u[ks])
-               for ks in range(1, nz)]
-        vert_u = []
-        zero2 = jnp.zeros_like(cn)
-        for k in range(nz):
-            top = fzs[k - 1] if k > 0 else zero2
-            bot = fzs[k] if k < nz - 1 else zero2
-            vert_u.append(-(bot - top) / dsig)
-        vadv_u = jnp.stack(vert_u, axis=0)
+        w_u3 = 0.5 * (_w(w3) + w3)                          # (w, nz-1, nxp)
+        cn_u = 0.5 * (_w(cn) + cn)
+        fz_u = w_u3 * cn_u * 0.5 * (u[:, :-1] + u[:, 1:])   # (w, nz-1, nxp)
+        zero3 = jnp.zeros_like(cn)
+        fz_u_full = jnp.concatenate([zero3, fz_u, zero3], axis=1)
+        vadv_u = -(fz_u_full[:, 1:] - fz_u_full[:, :-1]) / dsig
 
         vn_ = _n(v)
-        v_at_u = 0.25 * (_roll_w(v) + v + _roll_w(vn_) + vn_)
-        colp_u3 = colp_u[None]
-        cor_u = colp_u3 * (corf[None] + u * tanl[None] / c.R_EARTH) * v_at_u
+        v_at_u = 0.25 * (_w(v) + v + _w(vn_) + vn_)
+        cor_u = colp_u * (corf + u * tanl / c.R_EARTH) * v_at_u
 
-        pott_u = 0.5 * (_roll_w(pt) + pt)
-        pgf_u = -colp_u3 * ((phi3 - _roll_w(phi3))
-                            + c.C_P * pott_u * (pvtf3 - _roll_w(pvtf3))) \
-            / dx[None]
+        pott_u = 0.5 * (_w(pt) + pt)
+        pgf_u = -colp_u * ((phi3 - _w(phi3))
+                           + c.C_P * pott_u * (pvtf3 - _w(pvtf3))) / dx
 
         dudt = adv_u + vadv_u + cor_u + pgf_u
         if diff_uv:
-            lap = (_roll_e(u) - 2.0 * u + _roll_w(u)) / (dx[None] ** 2) \
-                + (_n(u) - 2.0 * u + _s(u)) / dy ** 2
-            dudt = dudt + diff_uv * colp_u3 * lap
+            lap = (_e(u) - 2.0 * u + _w(u)) / (dx * dx) \
+                + (_n(u) - 2.0 * u + _s(u)) / (dy * dy)
+            dudt = dudt + diff_uv * colp_u * lap
 
-        cu_old = 0.5 * (_roll_w(cb) + cb)
-        outs[0][...] = (ctr(ub) * ctr(cu_old)[None] + dt * ctr(dudt)) \
-            / ctr(cn_u)[None]
+        cu_old = 0.5 * (_w(cb) + cb)
+        store(0, (ctr(ub) * ctr(cu_old) + dt * ctr(dudt)) / ctr(cn_u))
 
-        # v
-        vflx_n = _n(vflx)
-        fyc_v = 0.5 * (vflx + vflx_n) * 0.5 * (v + _n(v))
-        fxc_v = 0.5 * (_s(uflx) + uflx) * 0.5 * (_roll_w(v) + v)
-        adv_v = -(_roll_e(fxc_v) - fxc_v + fyc_v - _s(fyc_v)) / area_v[None]
+        # ---- momentum: v ----
+        fyc_v = 0.5 * (vflx + _n(vflx)) * 0.5 * (v + _n(v))
+        fxc_v = 0.5 * (_s(uflx) + uflx) * 0.5 * (_w(v) + v)
+        adv_v = -(_e(fxc_v) - fxc_v + fyc_v - _s(fyc_v)) / area_v
 
-        w_v = 0.5 * (_s(w3) + w3)
+        w_v3 = 0.5 * (_s(w3) + w3)
         cn_v = 0.5 * (_s(cn) + cn)
-        fzs_v = [w_v[ks - 1] * cn_v * 0.5 * (v[ks - 1] + v[ks])
-                 for ks in range(1, nz)]
-        vert_v = []
-        for k in range(nz):
-            top = fzs_v[k - 1] if k > 0 else zero2
-            bot = fzs_v[k] if k < nz - 1 else zero2
-            vert_v.append(-(bot - top) / dsig)
-        vadv_v = jnp.stack(vert_v, axis=0)
+        fz_v = w_v3 * cn_v * 0.5 * (v[:, :-1] + v[:, 1:])
+        fz_v_full = jnp.concatenate([zero3, fz_v, zero3], axis=1)
+        vadv_v = -(fz_v_full[:, 1:] - fz_v_full[:, :-1]) / dsig
 
-        ue_ = _roll_e(u)
+        ue_ = _e(u)
         u_at_v = 0.25 * (_s(u) + _s(ue_) + u + ue_)
-        colp_v3 = colp_v[None]
-        cor_v = -colp_v3 * (corf_v[None] + u_at_v * tanl_v[None] / c.R_EARTH) \
-            * u_at_v
+        cor_v = -colp_v * (corf_v + u_at_v * tanl_v / c.R_EARTH) * u_at_v
 
         pott_v = 0.5 * (_s(pt) + pt)
-        pgf_v = -colp_v3 * ((phi3 - _s(phi3))
-                            + c.C_P * pott_v * (pvtf3 - _s(pvtf3))) / dy
+        pgf_v = -colp_v * ((phi3 - _s(phi3))
+                           + c.C_P * pott_v * (pvtf3 - _s(pvtf3))) / dy
 
         dvdt = adv_v + vadv_v + cor_v + pgf_v
         if diff_uv:
-            lap = (_roll_e(v) - 2.0 * v + _roll_w(v)) / (dx[None] ** 2) \
-                + (_n(v) - 2.0 * v + _s(v)) / dy ** 2
-            dvdt = dvdt + diff_uv * colp_v3 * lap
+            lap = (_e(v) - 2.0 * v + _w(v)) / (dx * dx) \
+                + (_n(v) - 2.0 * v + _s(v)) / (dy * dy)
+            dvdt = dvdt + diff_uv * colp_v * lap
 
         cv_old = 0.5 * (_s(cb) + cb)
-        v_new = (ctr(vb) * ctr(cv_old)[None] + dt * ctr(dvdt)) \
-            / ctr(cn_v)[None]
-        # south wall: global row 0 lives in tile 0, center row 0
+        v_new = (ctr(vb) * ctr(cv_old) + dt * ctr(dvdt)) / ctr(cn_v)
+        # south wall: global v row 0 (tile 0, output row 0) stays zero
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (bj, 1, 1), 0) + i * bj
+        v_new = jnp.where(row_ids == 0, jnp.zeros_like(v_new), v_new)
+        store(1, v_new)
+
+        # ---- output DMA ----
+        for o in range(n_outs):
+            out_descr(o, i, oslot).start()
+
+        # ---- wall-ghost rows (edge tiles only; sequenced after main DMA) ----
+        def ghost_descr(o, row0):
+            return pltpu.make_async_copy(
+                gbufs[o], hbm_out[o].at[pl.ds(row0, HALO)], sem_g.at[o])
+
         @pl.when(i == 0)
         def _():
-            outs[1][:, 0:1, :] = jnp.zeros_like(v_new[:, 0:1, :])
-            outs[1][:, 1:, :] = v_new[:, 1:, :]
+            for o in range(n_outs):
+                src = (jnp.zeros_like(outs_new[o][:1])
+                       if out_zero_ghost[o] else outs_new[o][:1])
+                src = jnp.broadcast_to(src, (HALO,) + outs_new[o].shape[1:])
+                gbufs[o][...] = src
+                d = ghost_descr(o, 0)
+                d.start()
+                d.wait()
 
-        @pl.when(i > 0)
+        @pl.when(i == nt - 1)
         def _():
-            outs[1][...] = v_new
+            # drain outstanding main DMAs first: ghost rows [2+ny, 4+ny)
+            # overlap the last tile's pad rows when bj does not divide ny
+            for o in range(n_outs):
+                @pl.when(i >= 1)
+                def _(o=o):
+                    out_descr(o, i - 1, (i - 1) % 2).wait()
+                out_descr(o, i, oslot).wait()
+            last = ny - 1 - (nt - 1) * bj       # row index of last real lat
+            for o in range(n_outs):
+                src = (jnp.zeros_like(outs_new[o][:1])
+                       if out_zero_ghost[o] else outs_new[o][last:last + 1])
+                src = jnp.broadcast_to(src, (HALO,) + outs_new[o].shape[1:])
+                gbufs[o][...] = src
+                d = ghost_descr(o, HALO + ny)
+                d.start()
+                d.wait()
 
     # ---------------- pallas_call assembly ----------------
-    shape3 = (nz, ny, nx)
-    shape2 = (ny, nx)
-    in_specs = []
-    for name, is3d, _ in streams:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    in_specs.append(pl.BlockSpec((ny, NGEO), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))     # geo
-
-    out_specs = [
-        pl.BlockSpec((nz, bj, nx), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),                  # u
-        pl.BlockSpec((nz, bj, nx), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),                  # v
-        pl.BlockSpec((nz, bj, nx), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),                  # pott
-        pl.BlockSpec((nz, bj, nx), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),                  # qv
-        pl.BlockSpec((nz, bj, nx), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),                  # qc
-        pl.BlockSpec((bj, nx), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),                  # colp
-    ]
-    out_shape = [jax.ShapeDtypeStruct(shape3, dtype)] * 5 \
-        + [jax.ShapeDtypeStruct(shape2, dtype)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM) for _ in streams]
+    in_specs.append(pl.BlockSpec((nyp, 1, NGEO), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))       # geo
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_outs
+    out_shape = [jax.ShapeDtypeStruct((nyp, nk, nxp), dtype) for nk in out_nk]
 
     scratch = []
-    for name, is3d, _ in streams:
-        if is3d:
-            scratch.append(pltpu.VMEM((2, nz, bj4, nx), dtype))
-        else:
-            scratch.append(pltpu.VMEM((2, bj4, nx), dtype))
+    for name, nk, _, slots in streams:
+        scratch.append(pltpu.VMEM((slots, w, nk, nxp), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, n_streams)))
+    for nk in out_nk:
+        scratch.append(pltpu.VMEM((2, bj, nk, nxp), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_outs)))
+    for nk in out_nk:
+        scratch.append(pltpu.VMEM((HALO, nk, nxp), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((n_outs,)))
 
     call = pl.pallas_call(
         kernel,
@@ -447,17 +480,49 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         ),
     )
 
+    def substep_packed(*packed_args):
+        return call(*packed_args)
+
+    return substep_packed
+
+
+def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
+                       same_base: bool, dt: float, dy: float, ptop: float,
+                       with_rad: bool, diff_uv: float = 0.0,
+                       diff_pott: float = 0.0, diff_moist: float = 0.0,
+                       dtype=jnp.float32, interpret: bool = False):
+    """Standard-layout wrapper (packs inputs, unpacks outputs): same
+    signature as the packed kernel but on (nz, ny, nx)/(ny, nx) arrays —
+    used by unit tests; the stepper chains packed substeps directly."""
+    kern = make_fused_substep_packed(
+        nz, ny, nx, bj=bj, same_base=same_base, dt=dt, dy=dy, ptop=ptop,
+        with_rad=with_rad, diff_uv=diff_uv, diff_pott=diff_pott,
+        diff_moist=diff_moist, dtype=dtype, interpret=interpret)
+
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
-        args = [u, v, pott, qv, qc, colp]
+        args = list(pack_state(u, v, pott, qv, qc, colp, bj))
         idx = 0
         if not same_base:
-            args += list(extra[idx:idx + 6])
+            args += list(pack_state(*extra[idx:idx + 6], bj))
             idx += 6
-        args.append(hs)
+        args.append(pack2(hs, bj))
         if with_rad:
-            args.append(extra[idx])
+            args.append(pack3(extra[idx], bj))
             idx += 1
-        args.append(geo)
-        return call(*args)
+        args.append(pack_geo(geo, bj))
+        out = kern(*args)
+        return (unpack3(out[0], nz, ny, nx), unpack3(out[1], nz, ny, nx),
+                unpack3(out[2], nz, ny, nx), unpack3(out[3], nz, ny, nx),
+                unpack3(out[4], nz, ny, nx), unpack2(out[5], ny, nx))
 
     return substep
+
+
+def pack_geo(geo, bj: int):
+    """(ny, NGEO) -> (NYP, 1, NGEO) with clamped ghost rows."""
+    ny = geo.shape[0]
+    nyp = row_pad(ny, bj)
+    g = geo[:, None, :]
+    south = jnp.broadcast_to(g[:1], (HALO, 1, NGEO))
+    north = jnp.broadcast_to(g[-1:], (nyp - ny - HALO, 1, NGEO))
+    return jnp.concatenate([south, g, north], axis=0)

@@ -103,3 +103,69 @@ def test_cli_run_and_restart(tmp_path):
                "--days", "0.05", "--dtype", "float64",
                "--restart-from", os.path.join(out, "restart.npz")])
     assert rc == 0
+
+
+def test_toml_namelist_roundtrip(tmp_path):
+    from climate_model_tpu.core.namelist import load_config
+
+    p = tmp_path / "nl.toml"
+    p.write_text('''
+sim_days = 0.5
+dtype = "float64"
+
+[grid]
+nx = 20
+ny = 12
+nz = 4
+
+[physics]
+microphysics = true
+
+[numerics]
+time_stepping = "rk4"
+diff_pott = 100.0
+''')
+    cfg = load_config(str(p))
+    assert cfg.grid.nx == 20 and cfg.numerics.time_stepping == "rk4"
+    assert cfg.physics.microphysics and cfg.sim_days == 0.5
+    # unknown key rejection (the reference silently ignored namelist typos)
+    p2 = tmp_path / "bad.toml"
+    p2.write_text("[grid]\nnnx = 3\n")
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_config(str(p2))
+
+
+def test_topography_loader(tmp_path):
+    """Synthetic ETOPO-like NetCDF -> model grid regrid (SURVEY.md §2.3)."""
+    from scipy.io import netcdf_file
+
+    from climate_model_tpu.core.config import GridConfig, ModelConfig
+    from climate_model_tpu.core.grid import make_grid
+    from climate_model_tpu.io.topo import load_topography
+
+    # fine source grid: one gaussian island in an ocean
+    slat = np.linspace(-85, 85, 180)
+    slon = np.linspace(0, 359, 360)
+    LA, LO = np.meshgrid(slat, slon, indexing="ij")
+    z = 7000.0 * np.exp(-(((LA - 30) / 10) ** 2 + ((LO - 120) / 10) ** 2)) \
+        - 4000.0
+    path = str(tmp_path / "etopo.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("lat", len(slat))
+        f.createDimension("lon", len(slon))
+        v = f.createVariable("lat", "d", ("lat",)); v[:] = slat
+        v = f.createVariable("lon", "d", ("lon",)); v[:] = slon
+        v = f.createVariable("z", "d", ("lat", "lon")); v[:] = z
+
+    cfg = ModelConfig(grid=GridConfig(nx=36, ny=18, nz=4))
+    grid_np = make_grid(cfg.grid, cfg.numerics, np_mode=True)
+    hsurf, land = load_topography(path, grid_np)
+    assert hsurf.shape == (18, 36) and land.shape == (18, 36)
+    assert (hsurf >= 0).all()
+    assert land.max() == 1.0 and land.mean() < 0.2   # one island
+    # island at ~(30N, 120E): nearest model cell is land with elevation
+    j = np.argmin(np.abs(np.rad2deg(grid_np.lat) - 30))
+    i = np.argmin(np.abs(np.rad2deg(grid_np.lon) - 120))
+    assert land[j, i] == 1.0 and hsurf[j, i] > 500.0
+    # ocean cells have zero HSURF
+    assert hsurf[land < 0.5].max() == 0.0
