@@ -68,6 +68,11 @@ def cmd_run(args) -> int:
     from .model import make_step_fn
 
     cfg = build_config(args)
+    if getattr(args, "multihost", False):
+        # DCN multi-host runtime (SURVEY.md §2.2 comm-backend row): each
+        # process owns its local TPU devices; collectives ride ICI within a
+        # slice and DCN across hosts, all emitted by XLA.
+        jax.distributed.initialize()
     state, forcing, grid = initialize(cfg)
     if args.restart_from:
         state = load_checkpoint(args.restart_from, cfg)
@@ -85,15 +90,42 @@ def cmd_run(args) -> int:
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
+    # --- multi-device domain decomposition (BASELINE configs #4/#5) ---
+    sh = cfg.sharding
+    n_mesh = sh.mesh_lat * sh.mesh_lon
+    mesh = None
+    if n_mesh > 1:
+        from .dist.mesh import make_mesh
+        from .dist.sharding import shard_inputs
+        if cfg.backend == "pallas":
+            print("note: pallas backend does not yet compose with the "
+                  "device mesh; falling back to jnp operators")
+            cfg = cfg.replace(backend="jnp")
+        mesh = make_mesh(cfg)
+        state, grid, forcing = shard_inputs(mesh, state, grid, forcing)
+
     step = make_step_fn(cfg)
 
-    @jax.jit
-    def run_chunk(s):
-        s = run_scan(step, s, grid, forcing, chunk)
-        return s, diagnostics(s, grid)
+    if mesh is not None and sh.mode == "shard_map":
+        from .dist.halo import make_sharded_step_fn
+        sharded_run = make_sharded_step_fn(cfg, mesh, grid, n_steps=chunk)
 
+        @jax.jit
+        def run_chunk(s):
+            s = sharded_run(s, grid, forcing)
+            return s, diagnostics(s, grid)
+    else:
+        # single device, or GSPMD auto-partitioning over sharded inputs
+        @jax.jit
+        def run_chunk(s):
+            s = run_scan(step, s, grid, forcing, chunk)
+            return s, diagnostics(s, grid)
+
+    mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"
+                 if mesh is not None else "")
     print(f"grid {gc.nx}x{gc.ny}x{gc.nz}  dt={dt:.1f}s  steps={n_total}  "
-          f"chunk={chunk}  device={jax.devices()[0].platform}", flush=True)
+          f"chunk={chunk}  device={jax.devices()[0].platform}{mesh_info}",
+          flush=True)
     t0 = time.time()
     done = 0
     restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
@@ -162,6 +194,8 @@ def main(argv=None) -> int:
     pr.add_argument("--restart-from", default=None)
     pr.add_argument("--backend", dest="backend_override", default=None,
                     choices=["jnp", "pallas"])
+    pr.add_argument("--multihost", action="store_true",
+                    help="initialize the jax multi-host (DCN) runtime")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -63,28 +63,44 @@ class Tendencies(NamedTuple):
 # Diagnostics: pressure, Exner factors, temperature, geopotential.
 # ---------------------------------------------------------------------------
 
-def diagnose(colp, pott, hsurf, grid: Grid) -> Diagnostics:
-    """NUMERICS.md 'Pressure / Exner / geopotential diagnostics'.
-
-    Rebuild of reference ``diag_pvt_factor`` + ``diag_geopotential_jacobson``
-    (SURVEY.md §2.1 [P])."""
+def diagnose_pressure(colp, grid: Grid):
+    """COLP-only part of the diagnostics (Exner factors + border pressures).
+    These are invariant across the operator-split physics within a step, so
+    model.py computes them once and shares them."""
     sig_vb = grid.sigma_vb[:, None, None]
     pvb = grid.ptop + sig_vb * colp[None]                    # (nz+1, ny, nx)
     pvtfvb = (pvb / c.P_REF) ** c.KAPPA
     num = pvb[1:] * pvtfvb[1:] - pvb[:-1] * pvtfvb[:-1]
     pvtf = num / ((1.0 + c.KAPPA) * (pvb[1:] - pvb[:-1]))    # (nz, ny, nx)
-    tair = pott * pvtf
+    return pvb, pvtf, pvtfvb
 
-    # Hydrostatic integration, surface upward: dPHI = -cp * POTT * dP.
-    # phivb[nz] = g*hsurf; phi[k] = phivb[k+1] + cp*pott[k]*(pvtfvb[k+1]-pvtf[k]);
-    # phivb[k] = phi[k] + cp*pott[k]*(pvtf[k]-pvtfvb[k]).
-    # Closed form via suffix-cumsum of the per-layer border-to-border jump:
-    #   phivb[k] = g*hsurf + cp * sum_{k'>=k} pott[k']*(pvtfvb[k'+1]-pvtfvb[k'])
+
+def diagnose_geopotential(pott, pvtf, pvtfvb, hsurf):
+    """Hydrostatic integration, surface upward: dPHI = -cp * POTT * dP.
+    phivb[nz] = g*hsurf; phi[k] = phivb[k+1] + cp*pott[k]*(pvtfvb[k+1]-pvtf[k]);
+    phivb[k] = phi[k] + cp*pott[k]*(pvtf[k]-pvtfvb[k]).
+    Closed form via suffix-cumsum of the per-layer border-to-border jump:
+    phivb[k] = g*hsurf + cp * sum_{k'>=k} pott[k']*(pvtfvb[k'+1]-pvtfvb[k'])"""
     jump = c.C_P * pott * (pvtfvb[1:] - pvtfvb[:-1])         # (nz, ny, nx)
     suffix = jnp.cumsum(jump[::-1], axis=0)[::-1]            # sum over k' >= k
     phivb_sfc = c.G * hsurf[None]
     phivb = jnp.concatenate([phivb_sfc + suffix, phivb_sfc], axis=0)
     phi = phivb[1:] + c.C_P * pott * (pvtfvb[1:] - pvtf)
+    return phi, phivb
+
+
+def diagnose(colp, pott, hsurf, grid: Grid,
+             press=None) -> Diagnostics:
+    """NUMERICS.md 'Pressure / Exner / geopotential diagnostics'.
+
+    Rebuild of reference ``diag_pvt_factor`` + ``diag_geopotential_jacobson``
+    (SURVEY.md §2.1 [P]). ``press`` optionally supplies precomputed
+    (pvb, pvtf, pvtfvb) for the same colp."""
+    if press is None:
+        press = diagnose_pressure(colp, grid)
+    pvb, pvtf, pvtfvb = press
+    tair = pott * pvtf
+    phi, phivb = diagnose_geopotential(pott, pvtf, pvtfvb, hsurf)
     return Diagnostics(pvb=pvb, pvtf=pvtf, pvtfvb=pvtfvb, phi=phi,
                        phivb=phivb, tair=tair)
 

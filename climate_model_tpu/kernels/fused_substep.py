@@ -132,6 +132,18 @@ def _e(x):
     return jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
 
 
+def _cumsum_k(x):
+    """Inclusive prefix sum along axis 1 (the k sublanes) as a log-depth
+    shift-and-add doubling scan (Mosaic has no cumsum primitive)."""
+    n = x.shape[1]
+    shift = 1
+    while shift < n:
+        pad = jnp.zeros_like(x[:, :shift])
+        x = x + jnp.concatenate([pad, x[:, :-shift]], axis=1)
+        shift *= 2
+    return x
+
+
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
                     with_rad: bool, itemsize: int = 4,
                     vmem_budget: int = 9 << 20) -> int:
@@ -255,20 +267,26 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         corf, corf_v = gcol("corf"), gcol("corf_v")
         tanl, tanl_v = gcol("tan_lat"), gcol("tan_lat_v")
 
-        # ---- diagnostics (NUMERICS.md): per-k lists of (w, 1, nxp) ----
-        pvb = [ptop + sig_vb[ks] * ce for ks in range(nz + 1)]
-        pvtfvb = [(p / c.P_REF) ** c.KAPPA for p in pvb]
-        pvtf = [(pvb[k + 1] * pvtfvb[k + 1] - pvb[k] * pvtfvb[k])
-                / ((1.0 + c.KAPPA) * (pvb[k + 1] - pvb[k]))
-                for k in range(nz)]
-        phivb = c.G * hs
-        phi = [None] * nz
-        for k in range(nz - 1, -1, -1):
-            ptk = pt[:, k:k + 1]
-            phi[k] = phivb + c.C_P * ptk * (pvtfvb[k + 1] - pvtf[k])
-            phivb = phi[k] + c.C_P * ptk * (pvtf[k] - pvtfvb[k])
-        phi3 = jnp.concatenate(phi, axis=1)                 # (w, nz, nxp)
-        pvtf3 = jnp.concatenate(pvtf, axis=1)
+        # ---- diagnostics (NUMERICS.md), vectorized over the k sublanes ----
+        # (per-k python loops would emit (w, 1, nxp) thin ops at 1/8 sublane
+        # utilization; everything here runs on (w, nz(+1), nxp) tiles, with
+        # the two true vertical scans expressed as sublane-axis cumsums)
+        # sigma borders are uniform: sig_b[k] = k * dsig (built via an int32
+        # iota then cast — pallas cannot capture array constants, and Mosaic
+        # requires integer iota)
+        sig_b = jax.lax.broadcasted_iota(
+            jnp.int32, (1, nz + 1, 1), 1).astype(dtype) * dsig
+        pvb3 = ptop + sig_b * ce                             # (w, nz+1, nxp)
+        pvtfvb3 = (pvb3 / c.P_REF) ** c.KAPPA
+        pvtf3 = (pvb3[:, 1:] * pvtfvb3[:, 1:] - pvb3[:, :-1] * pvtfvb3[:, :-1]) \
+            / ((1.0 + c.KAPPA) * (pvb3[:, 1:] - pvb3[:, :-1]))
+        # hydrostatic suffix sum: phivb[k+1] = g*hs + sum_{k'>k} jump[k']
+        jump3 = c.C_P * pt * (pvtfvb3[:, 1:] - pvtfvb3[:, :-1])
+        total_j = jnp.sum(jump3, axis=1, keepdims=True)
+        incl = _cumsum_k(jump3)                              # sum_{k'<=k}
+        suffix_excl = total_j - incl                         # sum_{k'>k}
+        phi3 = c.G * hs + suffix_excl \
+            + c.C_P * pt * (pvtfvb3[:, 1:] - pvtf3)
 
         # ---- continuity ----
         colp_u = 0.5 * (_w(ce) + ce)
@@ -279,12 +297,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         dcolpdt = -jnp.sum(div, axis=1, keepdims=True) * dsig   # (w, 1, nxp)
         cn = cb + dt * dcolpdt
 
-        w_int = []                                          # borders 1..nz-1
-        acc = jnp.zeros_like(ce)
-        for ks in range(1, nz):
-            acc = acc + div[:, ks - 1:ks] * dsig
-            w_int.append(-(acc + sig_vb[ks] * dcolpdt) / cn)
-        w3 = jnp.concatenate(w_int, axis=1) if nz > 1 else None
+        # WWIND interior borders 1..nz-1 via prefix cumsum over k
+        csum = _cumsum_k(div * dsig)                         # (w, nz, nxp)
+        w3 = -(csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) / cn  # (w, nz-1, nxp)
 
         ctr = lambda x: x[HALO:HALO + bj]
         cn_c, colp_c, cb_c = ctr(cn), ctr(ce), ctr(cb)
@@ -317,29 +332,23 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
         store(5, cn_c)
 
-        # ---- scalar tendencies + proceed ----
+        # ---- scalar tendencies + proceed (vectorized over k) ----
+        zero_b = jnp.zeros_like(cn)
+
         def scalar_update(q, qb, o, source=None, diff=0.0, clip=False):
             fx = uflx * 0.5 * (_w(q) + q)
             fy = vflx * 0.5 * (_s(q) + q)
-            dqdt = ctr(-(_e(fx) - fx + _n(fy) - fy) / area)
-            fz = []
-            for ks in range(1, nz):
-                fz.append(ctr(w_int[ks - 1]) * cn_c
-                          * 0.5 * (ctr(q[:, ks - 1:ks]) + ctr(q[:, ks:ks + 1])))
-            zero = jnp.zeros_like(cn_c)
-            vert = []
-            for k in range(nz):
-                top = fz[k - 1] if k > 0 else zero
-                bot = fz[k] if k < nz - 1 else zero
-                vert.append(-(bot - top) / dsig)
-            dqdt = dqdt + jnp.concatenate(vert, axis=1)
+            dqdt = -(_e(fx) - fx + _n(fy) - fy) / area
+            fz = w3 * cn * 0.5 * (q[:, :-1] + q[:, 1:])      # (w, nz-1, nxp)
+            fz_full = jnp.concatenate([zero_b, fz, zero_b], axis=1)
+            dqdt = dqdt - (fz_full[:, 1:] - fz_full[:, :-1]) / dsig
             if source is not None:
-                dqdt = dqdt + colp_c * ctr(source)
+                dqdt = dqdt + ce * source
             if diff:
                 lap = (_e(q) - 2.0 * q + _w(q)) / (dx * dx) \
                     + (_n(q) - 2.0 * q + _s(q)) / (dy * dy)
-                dqdt = dqdt + diff * colp_c * ctr(lap)
-            new = (ctr(qb) * cb_c + dt * dqdt) / cn_c
+                dqdt = dqdt + diff * ce * lap
+            new = (ctr(qb) * cb_c + dt * ctr(dqdt)) / cn_c
             if clip:
                 new = jnp.maximum(new, 0.0)
             store(o, new)

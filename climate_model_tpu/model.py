@@ -31,6 +31,8 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
     dyn_step = dynamics_step_fn(cfg)
     phys = cfg.physics
 
+    any_split = phys.surface or phys.turbulence or phys.microphysics
+
     def step(state: State, grid: Grid, forcing: Forcing) -> State:
         dt = grid.dt
         if phys.radiation:
@@ -38,12 +40,19 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
             # cache feeds the POTT tendency inside the dynamics step.
             state = radiation_step(state, grid, forcing, cfg)
         state = dyn_step(state, grid, forcing)
+        if any_split:
+            # COLP is fixed for the rest of the step: compute the Exner/
+            # pressure diagnostics once and share across the physics splits
+            # (exact — only POTT-dependent pieces are recomputed inside).
+            from .dycore.operators import diagnose_pressure
+            press = diagnose_pressure(state.colp, grid)
         if phys.surface:
-            state = surface_step(state, grid, forcing, cfg, dt)
+            state = surface_step(state, grid, forcing, cfg, dt, press=press)
         if phys.turbulence:
-            state = turbulence_step(state, grid, forcing, cfg, dt)
+            state = turbulence_step(state, grid, forcing, cfg, dt, press=press)
         if phys.microphysics:
-            state = microphysics_step(state, grid, forcing.hsurf, cfg, dt)
+            state = microphysics_step(state, grid, forcing.hsurf, cfg, dt,
+                                      press=press)
         return state.replace(t=state.t + dt, step=state.step + 1)
 
     return step

@@ -48,11 +48,12 @@ def saturation_adjustment(pott, qv, qc, pvtf, pair, dt, cfg: ModelConfig):
 
 
 def microphysics_step(state: State, grid: Grid, hsurf, cfg: ModelConfig,
-                      dt) -> State:
-    diag = ops.diagnose(state.colp, state.pott, hsurf, grid)
-    pair = 0.5 * (diag.pvb[:-1] + diag.pvb[1:])
+                      dt, press=None) -> State:
+    pvb, pvtf, _ = press if press is not None \
+        else ops.diagnose_pressure(state.colp, grid)
+    pair = 0.5 * (pvb[:-1] + pvb[1:])
     pott, qv, qc, to_rain = saturation_adjustment(
-        state.pott, state.qv, state.qc, diag.pvtf, pair, dt, cfg)
+        state.pott, state.qv, state.qc, pvtf, pair, dt, cfg)
     # Rain accumulates as column-integrated removed water: sum_k q * dp/g [kg m-2]
     dp = state.colp[None] * grid.dsigma[:, None, None]
     rain = state.rain + jnp.sum(to_rain * dp, axis=0) / c.G

@@ -58,8 +58,8 @@ def compute_radiation(state: State, grid: Grid, forcing: Forcing,
                       cfg: ModelConfig) -> RadiationOut:
     """One full radiation calculation (reference ``Radiation.calc_radiation``)."""
     colp, pott, qv, qc = state.colp, state.pott, state.qv, state.qc
-    diag = ops.diagnose(colp, pott, forcing.hsurf, grid)
-    tair = diag.tair
+    _, pvtf, _ = ops.diagnose_pressure(colp, grid)
+    tair = pott * pvtf
     dp = colp[None] * grid.dsigma[:, None, None]          # layer mass * g
     mass = dp / c.G                                       # [kg m-2]
 
@@ -124,7 +124,7 @@ def compute_radiation(state: State, grid: Grid, forcing: Forcing,
     dtdt_lw = (net_up[1:] - net_up[:-1]) * c.G / (c.C_P * dp)
 
     lwflx_sfc = f_dn_lw[-1] - b_sfc
-    dpottdt_rad = (dtdt_sw + dtdt_lw) / diag.pvtf
+    dpottdt_rad = (dtdt_sw + dtdt_lw) / pvtf
     return RadiationOut(dpottdt_rad=dpottdt_rad, swflx_sfc=swflx_sfc,
                         lwflx_sfc=lwflx_sfc,
                         swflx_toa=toa_dn - f_up[0], olr=net_up[0])

@@ -34,13 +34,14 @@ class SurfaceFluxes(NamedTuple):
 
 
 def surface_fluxes(state: State, grid: Grid, forcing: Forcing,
-                   cfg: ModelConfig) -> SurfaceFluxes:
+                   cfg: ModelConfig, press=None) -> SurfaceFluxes:
     from .thermo import qsat_water
 
     p = cfg.physics
-    diag = ops.diagnose(state.colp, state.pott, forcing.hsurf, grid)
-    t_air = diag.tair[-1]                           # lowest layer [K]
-    p_air = 0.5 * (diag.pvb[-2] + diag.pvb[-1])
+    pvb, pvtf, _ = press if press is not None \
+        else ops.diagnose_pressure(state.colp, grid)
+    t_air = state.pott[-1] * pvtf[-1]               # lowest layer [K]
+    p_air = 0.5 * (pvb[-2] + pvb[-1])
     rho = p_air / (c.R_D * t_air)
 
     # wind at cell centers (lowest layer); 1 m/s gustiness floor
@@ -50,7 +51,7 @@ def surface_fluxes(state: State, grid: Grid, forcing: Forcing,
 
     ch = p.drag_coef
     shflx = rho * c.C_P * ch * wind * (state.tsurf - t_air)
-    qsat_s = qsat_water(state.tsurf, diag.pvb[-1])
+    qsat_s = qsat_water(state.tsurf, pvb[-1])
     evap = rho * ch * wind * forcing.evap_eff \
         * jnp.maximum(qsat_s - state.qv[-1], 0.0)
     lhflx = c.L_V * evap
@@ -61,13 +62,15 @@ def surface_fluxes(state: State, grid: Grid, forcing: Forcing,
 
 
 def surface_step(state: State, grid: Grid, forcing: Forcing,
-                 cfg: ModelConfig, dt) -> State:
+                 cfg: ModelConfig, dt, press=None) -> State:
     """Advance TSURF (slab land/ocean energy budget, reference
     ``Soil.advance_timestep`` [P]) and apply surface fluxes to the lowest
     model layer."""
     p = cfg.physics
-    fx = surface_fluxes(state, grid, forcing, cfg)
-    diag = ops.diagnose(state.colp, state.pott, forcing.hsurf, grid)
+    if press is None:
+        press = ops.diagnose_pressure(state.colp, grid)
+    fx = surface_fluxes(state, grid, forcing, cfg, press=press)
+    _, pvtf_, _ = press
 
     # Surface energy budget. Radiative terms come from the radiation cache
     # (zero if radiation is off -> surface relaxes toward the atmosphere).
@@ -79,7 +82,7 @@ def surface_step(state: State, grid: Grid, forcing: Forcing,
     # Deposit fluxes into the lowest layer (mass colp*dsigma/g per m^2).
     dp_sfc = state.colp * grid.dsigma[-1]
     m_sfc = dp_sfc / c.G
-    dpott = dt * fx.shflx / (c.C_P * m_sfc) / diag.pvtf[-1]
+    dpott = dt * fx.shflx / (c.C_P * m_sfc) / pvtf_[-1]
     dqv = dt * fx.evap / m_sfc
     pott = state.pott.at[-1].add(dpott)
     qv = state.qv.at[-1].add(dqv)

@@ -23,18 +23,22 @@ from ..dycore import operators as ops
 
 
 def turbulence_step(state: State, grid: Grid, forcing: Forcing,
-                    cfg: ModelConfig, dt) -> State:
+                    cfg: ModelConfig, dt, press=None) -> State:
     p = cfg.physics
-    diag = ops.diagnose(state.colp, state.pott, forcing.hsurf, grid)
-    z_c = diag.phi / c.G                         # layer-center heights
-    z_vb = diag.phivb / c.G
+    pvb, pvtf, pvtfvb = press if press is not None \
+        else ops.diagnose_pressure(state.colp, grid)
+    phi, phivb = ops.diagnose_geopotential(state.pott, pvtf, pvtfvb,
+                                           forcing.hsurf)
+    tair = state.pott * pvtf
+    z_c = phi / c.G                              # layer-center heights
+    z_vb = phivb / c.G
     dz_c = z_vb[:-1] - z_vb[1:]                  # layer thickness (>0)
     dz_vb = z_c[:-1] - z_c[1:]                   # center-to-center (>0)
 
-    pair_vb = diag.pvb[1:-1]
-    tair_vb = 0.5 * (diag.tair[:-1] + diag.tair[1:])
+    pair_vb = pvb[1:-1]
+    tair_vb = 0.5 * (tair[:-1] + tair[1:])
     rho_vb = pair_vb / (c.R_D * tair_vb)
-    rho_c = (diag.pvb[1:] - diag.pvb[:-1]) / (c.G * dz_c)
+    rho_c = (pvb[1:] - pvb[:-1]) / (c.G * dz_c)
 
     def diffuse(x, k_coef, dzc, dzvb, rvb, rc):
         # Upward(+z)-positive diffusive flux at interior borders:
