@@ -1,0 +1,77 @@
+"""Scaling-efficiency harness (BASELINE.md: >= 80% grid-points/s scaling
+efficiency from 1 chip to N hosts).
+
+Measures throughput of the SAME global problem... no — scaling here is weak
+scaling per BASELINE's metric (grid-points/s at fixed resolution per config):
+we time the domain-decomposed step on 1 device and on the full mesh and
+report efficiency = (gps_N / gps_1) / N.
+
+On this dev box only one real TPU chip exists; the harness runs on whatever
+devices are visible (real pod slices in production; virtual CPU devices in
+tests validate the plumbing, not the bandwidth).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from ..core.config import ModelConfig
+from ..core.init import initialize
+from ..dist.halo import make_sharded_step_fn
+from ..dist.mesh import make_mesh
+from ..dist.sharding import shard_inputs
+from ..dycore.stepper import run_scan
+from ..model import make_step_fn
+
+
+def _time_run(run, state, *args, steps, repeats=3):
+    out = jax.block_until_ready(run(state, *args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(state, *args))
+        best = min(best, time.perf_counter() - t0)
+    return best / steps
+
+
+def measure_scaling(cfg: ModelConfig, steps: int = 10,
+                    mode: str = "shard_map") -> dict:
+    """Time 1-device vs full-mesh runs of cfg's grid; returns gps + efficiency."""
+    gc = cfg.grid
+    npts = gc.nx * gc.ny * gc.nz
+    n_dev = cfg.sharding.mesh_lat * cfg.sharding.mesh_lon
+
+    # single device
+    cfg1 = cfg.replace(sharding=cfg.sharding.__class__(mesh_lat=1, mesh_lon=1))
+    state, forcing, grid = initialize(cfg1)
+    step = make_step_fn(cfg1)
+    run1 = jax.jit(lambda s, g, f: run_scan(step, s, g, f, steps))
+    t1 = _time_run(run1, state, grid, forcing, steps=steps)
+
+    # full mesh
+    cfgn = cfg.replace(backend="jnp")
+    state, forcing, grid = initialize(cfgn)
+    mesh = make_mesh(cfgn)
+    s, g, f = shard_inputs(mesh, state, grid, forcing)
+    if mode == "shard_map":
+        runn = make_sharded_step_fn(cfgn, mesh, grid, n_steps=steps)
+    else:
+        stepn = make_step_fn(cfgn)
+        runn = jax.jit(lambda s_, g_, f_: run_scan(stepn, s_, g_, f_, steps))
+    tn = _time_run(runn, s, g, f, steps=steps)
+
+    gps1 = npts / t1
+    gpsn = npts / tn
+    eff = (gpsn / gps1) / n_dev
+    return {
+        "metric": f"scaling efficiency 1->{n_dev} devices "
+                  f"({gc.nx}x{gc.ny}x{gc.nz}, {mode})",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "vs_baseline": round(eff / 0.80, 4),   # BASELINE target: >= 0.80
+        "gps_1dev": round(gps1, 1),
+        "gps_ndev": round(gpsn, 1),
+        "n_devices": n_dev,
+    }

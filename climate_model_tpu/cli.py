@@ -163,11 +163,19 @@ def cmd_profile(args) -> int:
 
 def cmd_bench(args) -> int:
     _enable_cache()
-    from .bench.throughput import run_benchmark
-    result = run_benchmark(baseline=args.baseline, steps=args.steps,
-                           dtype=args.dtype or "float32",
-                           backend=args.backend)
     import json
+    if args.scaling:
+        from .bench.scaling import measure_scaling
+        cfg = build_config(args) if args.config else None
+        if cfg is None:
+            from .core.config import baseline_config
+            cfg = baseline_config(args.baseline)
+        result = measure_scaling(cfg, steps=args.steps)
+    else:
+        from .bench.throughput import run_benchmark
+        result = run_benchmark(baseline=args.baseline, steps=args.steps,
+                               dtype=args.dtype or "float32",
+                               backend=args.backend)
     print(json.dumps(result))
     return 0
 
@@ -199,9 +207,13 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    pb.add_argument("--config", default=None)
+    pb.add_argument("--days", type=float, default=None)
+    pb.add_argument("--dtype", default=None)
+    pb.add_argument("--scaling", action="store_true",
+                    help="measure 1-device vs full-mesh scaling efficiency")
     pb.add_argument("--baseline", type=int, default=3)
     pb.add_argument("--steps", type=int, default=50)
-    pb.add_argument("--dtype", default=None)
     pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     pb.set_defaults(fn=cmd_bench)
 

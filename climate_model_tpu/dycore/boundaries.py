@@ -31,6 +31,11 @@ class _ShardCtx:
     lon_axis: Optional[str] = None
     n_lat: int = 1                   # mesh extent along each axis
     n_lon: int = 1
+    # Trace-time dedup of halo collectives: the same field is shifted the
+    # same way several times inside one tendency evaluation; caching by
+    # tracer identity emits each edge ppermute once (keys keep strong refs
+    # so ids stay unique for the cache's lifetime).
+    cache: Optional[dict] = None
 
 
 _CTX = _ShardCtx()
@@ -49,11 +54,21 @@ def shard_mode(lat_axis: Optional[str], lon_axis: Optional[str],
     prev = _CTX
     _CTX = _ShardCtx(lat_axis=lat_axis if n_lat > 1 else None,
                      lon_axis=lon_axis if n_lon > 1 else None,
-                     n_lat=n_lat, n_lon=n_lon)
+                     n_lat=n_lat, n_lon=n_lon, cache={})
     try:
         yield
     finally:
         _CTX = prev
+
+
+def _cached(op_name, a, build):
+    cache = _CTX.cache
+    if cache is None:
+        return build()
+    key = (op_name, id(a))
+    if key not in cache:
+        cache[key] = (a, build())   # keep `a` alive so id() stays unique
+    return cache[key][1]
 
 
 def _ring_perm(n, shift):
@@ -72,16 +87,24 @@ def west(a):
     """Value of the west (i-1) neighbor; periodic wrap at the lon seam."""
     if _CTX.lon_axis is None:
         return jnp.roll(a, 1, axis=-1)
-    recv = _pp(a[..., -1:], _CTX.lon_axis, _ring_perm(_CTX.n_lon, +1))
-    return jnp.concatenate([recv, a[..., :-1]], axis=-1)
+
+    def build():
+        recv = _pp(a[..., -1:], _CTX.lon_axis, _ring_perm(_CTX.n_lon, +1))
+        return jnp.concatenate([recv, a[..., :-1]], axis=-1)
+
+    return _cached("west", a, build)
 
 
 def east(a):
     """Value of the east (i+1) neighbor; periodic wrap at the lon seam."""
     if _CTX.lon_axis is None:
         return jnp.roll(a, -1, axis=-1)
-    recv = _pp(a[..., :1], _CTX.lon_axis, _ring_perm(_CTX.n_lon, -1))
-    return jnp.concatenate([a[..., 1:], recv], axis=-1)
+
+    def build():
+        recv = _pp(a[..., :1], _CTX.lon_axis, _ring_perm(_CTX.n_lon, -1))
+        return jnp.concatenate([a[..., 1:], recv], axis=-1)
+
+    return _cached("east", a, build)
 
 
 def _from_south(a):
@@ -105,8 +128,11 @@ def south_zero(a):
     if _CTX.lat_axis is None:
         return jnp.concatenate(
             [jnp.zeros_like(a[..., :1, :]), a[..., :-1, :]], axis=-2)
-    recv = _from_south(a)            # zeros on the southernmost shard
-    return jnp.concatenate([recv, a[..., :-1, :]], axis=-2)
+    def build():
+        recv = _from_south(a)        # zeros on the southernmost shard
+        return jnp.concatenate([recv, a[..., :-1, :]], axis=-2)
+
+    return _cached("south_zero", a, build)
 
 
 def north_zero(a):
@@ -114,28 +140,37 @@ def north_zero(a):
     if _CTX.lat_axis is None:
         return jnp.concatenate(
             [a[..., 1:, :], jnp.zeros_like(a[..., -1:, :])], axis=-2)
-    recv = _from_north(a)            # zeros on the northernmost shard
-    return jnp.concatenate([a[..., 1:, :], recv], axis=-2)
+    def build():
+        recv = _from_north(a)        # zeros on the northernmost shard
+        return jnp.concatenate([a[..., 1:, :], recv], axis=-2)
+
+    return _cached("north_zero", a, build)
 
 
 def south_clamp(a):
     """South neighbor with edge replication (zero-gradient wall)."""
     if _CTX.lat_axis is None:
         return jnp.concatenate([a[..., :1, :], a[..., :-1, :]], axis=-2)
-    recv = _from_south(a)
-    idx = jax.lax.axis_index(_CTX.lat_axis)
-    row = jnp.where(idx == 0, a[..., :1, :], recv)
-    return jnp.concatenate([row, a[..., :-1, :]], axis=-2)
+    def build():
+        recv = _from_south(a)
+        idx = jax.lax.axis_index(_CTX.lat_axis)
+        row = jnp.where(idx == 0, a[..., :1, :], recv)
+        return jnp.concatenate([row, a[..., :-1, :]], axis=-2)
+
+    return _cached("south_clamp", a, build)
 
 
 def north_clamp(a):
     """North neighbor with edge replication (zero-gradient wall)."""
     if _CTX.lat_axis is None:
         return jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
-    recv = _from_north(a)
-    idx = jax.lax.axis_index(_CTX.lat_axis)
-    row = jnp.where(idx == _CTX.n_lat - 1, a[..., -1:, :], recv)
-    return jnp.concatenate([a[..., 1:, :], row], axis=-2)
+    def build():
+        recv = _from_north(a)
+        idx = jax.lax.axis_index(_CTX.lat_axis)
+        row = jnp.where(idx == _CTX.n_lat - 1, a[..., -1:, :], recv)
+        return jnp.concatenate([a[..., 1:, :], row], axis=-2)
+
+    return _cached("north_clamp", a, build)
 
 
 def enforce_v_walls(v):

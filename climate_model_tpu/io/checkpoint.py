@@ -29,10 +29,30 @@ def config_fingerprint(cfg: ModelConfig) -> str:
 
 
 def save_checkpoint(path: str, state: State, cfg: ModelConfig):
-    """Write state pytree + config fingerprint. ``path`` is a .npz file."""
+    """Write state pytree + config fingerprint. ``path`` is a .npz file.
+
+    Multi-host (SURVEY.md §3.4 rebuild note: per-host shard saving): each
+    process writes only its addressable shards to ``path.pN``; process 0
+    additionally records the fingerprint. Single-process saves the full
+    arrays (np.asarray gathers across local devices)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    leaves = {f.name: np.asarray(getattr(state, f.name))
-              for f in dataclasses.fields(state)}
+    multi = jax.process_count() > 1
+    if multi:
+        path = f"{path}.p{jax.process_index()}"
+        leaves = {}
+        for f in dataclasses.fields(state):
+            arr = getattr(state, f.name)
+            if hasattr(arr, "addressable_shards"):
+                for sh in arr.addressable_shards:
+                    key = f.name + "@" + ",".join(
+                        f"{sl.start or 0}" for sl in sh.index) if sh.index \
+                        else f.name
+                    leaves[key] = np.asarray(sh.data)
+            else:
+                leaves[f.name] = np.asarray(arr)
+    else:
+        leaves = {f.name: np.asarray(getattr(state, f.name))
+                  for f in dataclasses.fields(state)}
     leaves["_fingerprint"] = np.frombuffer(
         config_fingerprint(cfg).encode(), dtype=np.uint8)
     tmp = path + ".tmp.npz"   # np.savez appends .npz unless present

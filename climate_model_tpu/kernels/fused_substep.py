@@ -144,11 +144,18 @@ def _cumsum_k(x):
     return x
 
 
+import os
+
+_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "13"))
+
+
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
                     with_rad: bool, itemsize: int = 4,
-                    vmem_budget: int = 9 << 20) -> int:
+                    vmem_budget: int = None) -> int:
     """Largest tile height whose stream-buffer footprint fits the budget
-    (headroom left for Mosaic temporaries)."""
+    (headroom left for Mosaic temporaries; tune via CLIMATE_TPU_VMEM_MB)."""
+    if vmem_budget is None:
+        vmem_budget = _VMEM_BUDGET_MB << 20
     nxp = lane_pad(nx)
     row3 = nz * nxp * itemsize
     for bj in (32, 24, 16, 12, 8, 6, 4, 3, 2):

@@ -73,3 +73,33 @@ def test_config2_moist_500steps_allclose():
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), s_np[name],
             rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+@pytest.mark.slow
+def test_fp32_long_run_stable():
+    """SURVEY.md §4 property: no NaN / no blow-up over a long fp32 run with
+    full physics (the production precision)."""
+    import jax.numpy as jnp
+
+    from climate_model_tpu.core.init import initialize
+    from climate_model_tpu.io.metrics import diagnostics
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=48, ny=24, nz=8),
+        physics=PhysicsConfig(microphysics=True, radiation=True,
+                              surface=True, turbulence=True,
+                              rad_every_steps=4),
+        numerics=NumericsConfig(diff_uv=1e4, diff_pott=1e4, diff_moist=1e4),
+        dtype="float32",
+    )
+    state, forcing, grid = initialize(cfg)
+    step = make_step_fn(cfg)
+    run = jax.jit(lambda s: run_scan(step, s, grid, forcing, 100))
+    for _ in range(5):     # 500 steps total
+        state = jax.block_until_ready(run(state))
+        d = diagnostics(state, grid)
+        assert not bool(d.nan_flag)
+        assert float(d.max_wind) < 150.0
+    area = np.asarray(grid.area)[:, None]
+    colp = np.asarray(state.colp)
+    assert 80000.0 < colp.mean() < 100000.0
