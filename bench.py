@@ -23,7 +23,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from climate_model_tpu.bench.throughput import run_benchmark
-    result = run_benchmark(baseline=3, steps=20, dtype="float32")
+    result = run_benchmark(baseline=3, steps=20, dtype="float32",
+                           backend="pallas")
     print(json.dumps(result), flush=True)
 
 

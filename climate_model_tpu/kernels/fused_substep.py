@@ -146,7 +146,7 @@ def _cumsum_k(x):
 
 import os
 
-_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "13"))
+_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "11"))
 
 
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
@@ -241,11 +241,22 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 if st[3] == 2:
                     in_descr(k, i + 1, i + 1)[0].start()
 
+        late_wait = {"ub", "vb", "pottb", "qvb", "qcb"}
         for k, st in enumerate(streams):
             if st[3] == 1:
                 in_descr(k, i, 0)[0].start()
         for k, st in enumerate(streams):
+            # the big single-buffered base arrays are only consumed at the
+            # proceed stage; defer their waits so the DMA overlaps the
+            # tendency compute of this tile
+            if st[0] in late_wait:
+                continue
             in_descr(k, i, i if st[3] == 2 else 0)[0].wait()
+
+        def wait_late_bases():
+            for k, st in enumerate(streams):
+                if st[0] in late_wait:
+                    in_descr(k, i, 0)[0].wait()
 
         slot = i % 2
         by_name = {}
@@ -360,6 +371,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 new = jnp.maximum(new, 0.0)
             store(o, new)
 
+        if not same_base:
+            wait_late_bases()
         rad = by_name.get("rad")
         scalar_update(pt, ptb, 2, source=rad, diff=diff_pott)
         scalar_update(qv, qvb, 3, diff=diff_moist, clip=True)
