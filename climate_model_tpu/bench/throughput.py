@@ -15,8 +15,7 @@ import jax
 
 from ..core.config import baseline_config
 from ..core.init import initialize
-from ..dycore.stepper import run_scan
-from ..model import make_step_fn
+from ..model import make_chunk_runner
 from .roofline import speed_of_light_gps
 
 
@@ -24,11 +23,11 @@ def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
                   repeats: int = 3, backend: str = "jnp") -> dict:
     cfg = baseline_config(baseline).replace(dtype=dtype, backend=backend)
     state, forcing, grid = initialize(cfg)
-    step = make_step_fn(cfg)
+    runner = make_chunk_runner(cfg, steps)
 
     @jax.jit
     def run(s):
-        return run_scan(step, s, grid, forcing, steps)
+        return runner(s, grid, forcing)
 
     # compile + warmup
     state = jax.block_until_ready(run(state))

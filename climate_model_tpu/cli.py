@@ -116,9 +116,12 @@ def cmd_run(args) -> int:
             return s, diagnostics(s, grid)
     else:
         # single device, or GSPMD auto-partitioning over sharded inputs
+        from .model import make_chunk_runner
+        runner = make_chunk_runner(cfg, chunk)
+
         @jax.jit
         def run_chunk(s):
-            s = run_scan(step, s, grid, forcing, chunk)
+            s = runner(s, grid, forcing)
             return s, diagnostics(s, grid)
 
     mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"

@@ -548,10 +548,10 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
 
 
 def pack_geo(geo, bj: int):
-    """(ny, NGEO) -> (NYP, 1, NGEO) with clamped ghost rows."""
-    ny = geo.shape[0]
+    """(ny, K) -> (NYP, 1, K) with clamped ghost rows."""
+    ny, k = geo.shape
     nyp = row_pad(ny, bj)
     g = geo[:, None, :]
-    south = jnp.broadcast_to(g[:1], (HALO, 1, NGEO))
-    north = jnp.broadcast_to(g[-1:], (nyp - ny - HALO, 1, NGEO))
+    south = jnp.broadcast_to(g[:1], (HALO, 1, k))
+    north = jnp.broadcast_to(g[-1:], (nyp - ny - HALO, 1, k))
     return jnp.concatenate([south, g, north], axis=0)

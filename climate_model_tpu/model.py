@@ -15,6 +15,7 @@ import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from .core.config import ModelConfig
 from .core.grid import Grid
@@ -58,15 +59,108 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
     return step
 
 
+def make_packed_step_fn(cfg: ModelConfig, bj: int):
+    """Full model step on the PACKED state layout (kernels/packing.py):
+    fused Pallas dycore substeps chain in packed space and the physics
+    splits run natively packed (physics/packed.py) — the state never
+    leaves the kernel layout inside a scan chunk."""
+    from .core.grid import make_grid
+    from .kernels.fused_substep import make_fused_substep_packed
+    from .kernels.packing import PackedAux, PackedState
+    from .physics.packed import (microphysics_step_packed, packed_pressure,
+                                 radiation_step_packed, surface_step_packed,
+                                 turbulence_step_packed)
+
+    gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
+    grid_np = make_grid(gc, num, np_mode=True)
+    nz, ny, nx = gc.nz, gc.ny, gc.nx
+    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+              with_rad=phys.radiation,
+              diff_uv=num.diff_uv, diff_pott=num.diff_pott,
+              diff_moist=num.diff_moist,
+              dtype=jnp.dtype(cfg.dtype),
+              interpret=jax.default_backend() == "cpu")
+    pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
+    corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False, **kw)
+    dt = float(grid_np.dt)
+    any_split = phys.surface or phys.turbulence or phys.microphysics
+
+    def step(ps: PackedState, aux: PackedAux) -> PackedState:
+        if phys.radiation:
+            ps = radiation_step_packed(ps, aux, cfg, nz)
+        rad = (ps.dpottdt_rad,) if phys.radiation else ()
+        base = (ps.u, ps.v, ps.pott, ps.qv, ps.qc, ps.colp)
+        p = pred_k(*base, aux.hsurf, *rad, aux.geo)
+        out = corr_k(*p, *base, aux.hsurf, *rad, aux.geo)
+        ps = ps.replace(u=out[0], v=out[1], pott=out[2], qv=out[3],
+                        qc=out[4], colp=out[5])
+        if any_split:
+            press = packed_pressure(ps.colp, nz, gc.ptop)
+        if phys.surface:
+            ps = surface_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
+        if phys.turbulence:
+            ps = turbulence_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
+        if phys.microphysics:
+            ps = microphysics_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
+        return ps.replace(t=ps.t + dt, step=ps.step + 1)
+
+    return step
+
+
+def make_chunk_runner(cfg: ModelConfig, n_steps: int):
+    """``run(state, grid, forcing) -> state`` advancing ``n_steps``.
+
+    jnp backend: plain scan of the full step. pallas backend: per-step
+    fused kernels with pack/unpack around each dynamics step (the default —
+    measured fastest at 1 deg on v5e), or, with CLIMATE_TPU_PACKED_SCAN=1,
+    the whole-scan packed-state path (kernels stay in packed layout and the
+    physics runs natively packed via physics/packed.py; mathematically
+    identical — tests/unit/test_pallas_substep.py — but currently slower on
+    v5e because the packed physics' thin (NYP,1,NXP) layouts and ghost
+    refresh DUS ops outweigh the saved transposes).
+    """
+    import os
+    packed_scan = os.environ.get("CLIMATE_TPU_PACKED_SCAN", "0") == "1"
+    if cfg.backend != "pallas" or not packed_scan:
+        step = make_step_fn(cfg)
+
+        def run(state: State, grid: Grid, forcing: Forcing) -> State:
+            return run_scan(step, state, grid, forcing, n_steps)
+
+        return run
+
+    from .kernels.fused_substep import pick_block_rows
+    from .kernels.packing import pack_aux, pack_full, unpack_full
+
+    gc = cfg.grid
+    nz, ny, nx = gc.nz, gc.ny, gc.nx
+    bj = pick_block_rows(nz, ny, nx, same_base=False,
+                         with_rad=cfg.physics.radiation,
+                         itemsize=jnp.dtype(cfg.dtype).itemsize)
+    pstep = make_packed_step_fn(cfg, bj)
+
+    def run(state: State, grid: Grid, forcing: Forcing) -> State:
+        aux = pack_aux(forcing, grid, bj, jnp.dtype(cfg.dtype))
+        ps = pack_full(state, bj)
+
+        def body(s, _):
+            return pstep(s, aux), None
+
+        ps, _ = jax.lax.scan(body, ps, None, length=n_steps)
+        return unpack_full(ps, state, nz, ny, nx)
+
+    return run
+
+
 def make_run_fn(cfg: ModelConfig, n_steps: int, donate: bool = True):
     """Jitted ``run(state, grid, forcing) -> state`` advancing n_steps.
 
     The state buffers are donated so long scans update in place in HBM.
     """
-    step = make_step_fn(cfg)
+    run_inner = make_chunk_runner(cfg, n_steps)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(state: State, grid: Grid, forcing: Forcing) -> State:
-        return run_scan(step, state, grid, forcing, n_steps)
+        return run_inner(state, grid, forcing)
 
     return run

@@ -128,3 +128,34 @@ def test_backend_pallas_full_step_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
             rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_packed_full_model_matches_std(monkeypatch):
+    """Packed-state scan (fused kernels + packed physics; the
+    CLIMATE_TPU_PACKED_SCAN=1 path) vs the standard jnp full model, all
+    physics on."""
+    monkeypatch.setenv("CLIMATE_TPU_PACKED_SCAN", "1")
+    from climate_model_tpu.core.config import PhysicsConfig
+    from climate_model_tpu.core.init import initialize
+    from climate_model_tpu.model import make_chunk_runner, make_step_fn
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=32, ny=16, nz=8), dtype="float64",
+        physics=PhysicsConfig(microphysics=True, radiation=True,
+                              surface=True, turbulence=True,
+                              rad_every_steps=2))
+    state, forcing, grid = initialize(cfg)
+
+    ref = state
+    step = make_step_fn(cfg)
+    for _ in range(4):
+        ref = step(ref, grid, forcing)
+
+    run = make_chunk_runner(cfg.replace(backend="pallas"), 4)
+    out = run(state, grid, forcing)
+    for name in ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain",
+                 "dpottdt_rad", "swflx_sfc", "lwflx_sfc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-9, atol=1e-10, err_msg=name)
+    assert int(out.step) == 4
