@@ -102,6 +102,20 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
             ps = turbulence_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
         if phys.microphysics:
             ps = microphysics_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
+        if any_split:
+            # one ghost refresh per step: physics is column-local (only the
+            # surface model READS ghosts, and only of the kernel outputs,
+            # which are fresh), so stale ghosts never feed valid points
+            # within the splits; the next step's kernels need them fresh.
+            from .kernels.packing import refresh_ghosts
+            ps = ps.replace(
+                u=refresh_ghosts(ps.u, ny, nx),
+                v=refresh_ghosts(ps.v, ny, nx, zero_ghost_rows=True),
+                pott=refresh_ghosts(ps.pott, ny, nx),
+                qv=refresh_ghosts(ps.qv, ny, nx),
+                qc=refresh_ghosts(ps.qc, ny, nx),
+                tsurf=refresh_ghosts(ps.tsurf, ny, nx),
+                rain=refresh_ghosts(ps.rain, ny, nx))
         return ps.replace(t=ps.t + dt, step=ps.step + 1)
 
     return step

@@ -62,60 +62,57 @@ def microphysics_step_packed(ps: PackedState, aux: PackedAux,
     rain = ps.rain + jnp.sum(to_rain, axis=1, keepdims=True) \
         * ps.colp * dsig / c.G
 
-    return ps.replace(
-        pott=refresh_ghosts(pott, ny, nx),
-        qv=refresh_ghosts(qv, ny, nx), qc=refresh_ghosts(qc, ny, nx),
-        rain=refresh_ghosts(rain, ny, nx))
+    return ps.replace(pott=pott, qv=qv, qc=qc, rain=rain)
 
 
 def surface_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
                         dt, nz, ny, nx, press=None) -> PackedState:
+    # 2-D work runs on squeezed (NYP, NXP) arrays: the packed (NYP, 1, NXP)
+    # shape wastes 7/8 of the sublanes on TPU.
     p = cfg.physics
     pvb, pvtf, _ = press if press is not None else \
         packed_pressure(ps.colp, nz, cfg.grid.ptop)
-    t_air = ps.pott[:, -1:] * pvtf[:, -1:]
-    p_air = 0.5 * (pvb[:, -2:-1] + pvb[:, -1:])
+    pvtf_b = pvtf[:, -1]
+    t_air = ps.pott[:, -1] * pvtf_b
+    p_air = 0.5 * (pvb[:, -2] + pvb[:, -1])
     rho = p_air / (c.R_D * t_air)
 
-    u_b, v_b = ps.u[:, -1:], ps.v[:, -1:]
+    u_b, v_b = ps.u[:, -1], ps.v[:, -1]
     u_c = 0.5 * (u_b + p_east(u_b))
     v_c = 0.5 * (v_b + p_north(v_b))
     wind = jnp.sqrt(u_c ** 2 + v_c ** 2 + 1.0)
 
     ch = p.drag_coef
-    shflx = rho * c.C_P * ch * wind * (ps.tsurf - t_air)
-    qsat_s = qsat_water(ps.tsurf, pvb[:, -1:])
-    evap = rho * ch * wind * aux.evap_eff \
-        * jnp.maximum(qsat_s - ps.qv[:, -1:], 0.0)
+    tsurf2 = ps.tsurf[:, 0]
+    shflx = rho * c.C_P * ch * wind * (tsurf2 - t_air)
+    qsat_s = qsat_water(tsurf2, pvb[:, -1])
+    evap = rho * ch * wind * aux.evap_eff[:, 0] \
+        * jnp.maximum(qsat_s - ps.qv[:, -1], 0.0)
     lhflx = c.L_V * evap
     taux = -rho * ch * wind * u_c
     tauy = -rho * ch * wind * v_c
 
-    heat_cap = jnp.where(aux.land_mask > 0.5, p.soil_heat_capacity,
+    heat_cap = jnp.where(aux.land_mask[:, 0] > 0.5, p.soil_heat_capacity,
                          p.ocean_heat_capacity)
-    net = ps.swflx_sfc + ps.lwflx_sfc - shflx - lhflx
-    tsurf = ps.tsurf + dt * net / heat_cap
+    net = ps.swflx_sfc[:, 0] + ps.lwflx_sfc[:, 0] - shflx - lhflx
+    tsurf = (tsurf2 + dt * net / heat_cap)[:, None]
 
     dsig_sfc = 1.0 / nz
-    dp_sfc = ps.colp * dsig_sfc
+    dp_sfc = ps.colp[:, 0] * dsig_sfc
     m_sfc = dp_sfc / c.G
-    pott = ps.pott.at[:, -1:].add(dt * shflx / (c.C_P * m_sfc) / pvtf[:, -1:])
-    qv = ps.qv.at[:, -1:].add(dt * evap / m_sfc)
+    pott = ps.pott.at[:, -1].add(dt * shflx / (c.C_P * m_sfc) / pvtf_b)
+    qv = ps.qv.at[:, -1].add(dt * evap / m_sfc)
 
     from ..kernels.packing import p_south, p_west
     m_u = 0.5 * (p_west(dp_sfc) + dp_sfc) / c.G
     m_v = 0.5 * (p_south(dp_sfc) + dp_sfc) / c.G
     du = dt * 0.5 * (p_west(taux) + taux) / m_u
     dv = dt * 0.5 * (p_south(tauy) + tauy) / m_v
-    u = ps.u.at[:, -1:].add(du)
-    v = ps.v.at[:, -1:].add(dv)
+    u = ps.u.at[:, -1].add(du)
+    v = ps.v.at[:, -1].add(dv)
     v = v.at[HALO].set(jnp.zeros_like(v[HALO]))     # south wall row (global 0)
 
-    return ps.replace(
-        tsurf=refresh_ghosts(tsurf, ny, nx),
-        pott=refresh_ghosts(pott, ny, nx), qv=refresh_ghosts(qv, ny, nx),
-        u=refresh_ghosts(u, ny, nx),
-        v=refresh_ghosts(v, ny, nx, zero_ghost_rows=True))
+    return ps.replace(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v)
 
 
 def turbulence_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
@@ -169,12 +166,8 @@ def turbulence_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
     v = diffuse(ps.v, p.diff_coef_momentum, dz_c_v, dz_vb_v, rvb_v, rc_v)
     v = v.at[HALO].set(jnp.zeros_like(v[HALO]))
 
-    return ps.replace(
-        u=refresh_ghosts(u, ny, nx),
-        v=refresh_ghosts(v, ny, nx, zero_ghost_rows=True),
-        pott=refresh_ghosts(pott, ny, nx),
-        qv=refresh_ghosts(jnp.maximum(qv, 0.0), ny, nx),
-        qc=refresh_ghosts(jnp.maximum(qc, 0.0), ny, nx))
+    return ps.replace(u=u, v=v, pott=pott,
+                      qv=jnp.maximum(qv, 0.0), qc=jnp.maximum(qc, 0.0))
 
 
 def compute_radiation_packed(ps: PackedState, aux: PackedAux,
