@@ -58,7 +58,9 @@ from ..core import constants as c
 GEO_FIELDS = ("area", "area_v", "dx", "dxs", "corf", "corf_v",
               "tan_lat", "tan_lat_v")
 NGEO = len(GEO_FIELDS)
-HALO = 2          # row halo each side
+HALO = 2          # south row-halo (and ghost-row offset of the packed rows)
+HALO_N = 3        # north row-halo: +1 so the physics epilogue can read the
+                  # north neighbor of updated fields (surface wind average)
 GX = 2            # periodic ghost columns each side
 
 
@@ -68,7 +70,7 @@ def lane_pad(nx: int) -> int:
 
 def row_pad(ny: int, bj: int) -> int:
     nt = -(-ny // bj)
-    return nt * bj + 2 * HALO
+    return nt * bj + HALO + HALO_N
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +153,7 @@ _VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "11"))
 
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
                     with_rad: bool, itemsize: int = 4,
-                    vmem_budget: int = None) -> int:
+                    vmem_budget: int = None, with_phys: bool = False) -> int:
     """Largest tile height whose stream-buffer footprint fits the budget
     (headroom left for Mosaic temporaries; tune via CLIMATE_TPU_VMEM_MB)."""
     if vmem_budget is None:
@@ -161,13 +163,15 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
     for bj in (32, 24, 16, 12, 8, 6, 4, 3, 2):
         if -(-ny // bj) < 2:
             continue
-        w = bj + 2 * HALO
+        w = bj + HALO + (HALO_N if with_phys else HALO)
         eval_bufs = 5 * 2 * w * row3
         base_bufs = (5 * 1 * w * row3) if not same_base else 0
         rad_buf = (1 * w * row3) if with_rad else 0
-        small = 8 * w * nxp * itemsize
-        out_bufs = 5 * 2 * bj * row3 + 2 * bj * nxp * itemsize \
-            + 2 * HALO * row3
+        n_small = 8 + (7 * 2 if with_phys else 0)
+        small = n_small * w * nxp * itemsize
+        n_out2 = 2 + (2 * 2 if with_phys else 0)
+        out_bufs = 5 * 2 * bj * row3 + n_out2 * bj * nxp * itemsize \
+            + (HALO + HALO_N) * row3
         if eval_bufs + base_bufs + rad_buf + small + out_bufs <= vmem_budget:
             return bj
     raise ValueError(f"no viable fused-kernel tile height for ny={ny}")
@@ -179,18 +183,34 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               ptop: float, with_rad: bool,
                               diff_uv: float = 0.0, diff_pott: float = 0.0,
                               diff_moist: float = 0.0, dtype=jnp.float32,
-                              interpret: bool = False):
+                              interpret: bool = False, phys: tuple = None):
     """Fused substep on PACKED arrays. Returns
-    ``f(u, v, pott, qv, qc, colp, hs, geo[, base 6][, rad]) -> 6 packed
-    outputs``; all array args packed ((NYP, nz|1, NXP)); geo is
-    (NYP, 1, NGEO)."""
+    ``f(u, v, pott, qv, qc, colp, hs, geo[, base 6][, rad][, phys 7]) -> 6
+    (or 8) packed outputs``; all array args packed ((NYP, nz|1, NXP)); geo is
+    (NYP, 1, NGEO).
+
+    ``phys`` enables the physics EPILOGUE (surface + turbulence +
+    microphysics run on the updated fields inside this kernel — one HBM pass
+    for the entire model step when chained with the packed scan). It is a
+    hashable tuple ``(with_surface, with_turb, with_mic, drag_coef,
+    soil_heat_capacity, ocean_heat_capacity, qc_autoconv_time,
+    qc_autoconv_threshold, diff_coef_scalar, diff_coef_momentum)``; extra
+    inputs tsurf, rain, swflx_sfc, lwflx_sfc, land_mask, albedo, evap_eff
+    ((NYP,1,NXP)) follow rad, and outputs grow by (tsurf, rain)."""
     if nz < 2:
         raise ValueError("fused kernel requires nz >= 2")
+    with_phys = phys is not None
     nt = -(-ny // bj)
     nyp, nxp = row_pad(ny, bj), lane_pad(nx)
-    w = bj + 2 * HALO
+    w = bj + HALO + (HALO_N if with_phys else HALO)
     sig_vb = [float(s) for s in np.linspace(0.0, 1.0, nz + 1)]
     dsig = sig_vb[1] - sig_vb[0]
+    # rows of updated fields carried into the epilogue: one halo row each
+    # side of the center block (tile rows [1, bj+3)) so the epilogue's
+    # one-point neighbor reads stay valid on the center rows
+    nu = bj + 2 if with_phys else bj
+    u0 = HALO - 1 if with_phys else HALO      # tile-row offset of that slice
+    ctr0 = 1 if with_phys else 0              # center offset within the slice
 
     # streamed inputs: (name, nk, zero_ghost, slots)
     streams = [("u", nz, False, 2), ("v", nz, True, 2), ("pott", nz, False, 2),
@@ -203,11 +223,19 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     streams += [("hs", 1, False, 2)]
     if with_rad:
         streams += [("rad", nz, False, 1)]
+    if with_phys:
+        streams += [("tsurf", 1, False, 2), ("rain", 1, False, 2),
+                    ("sw", 1, False, 2), ("lw", 1, False, 2),
+                    ("land", 1, False, 2), ("alb", 1, False, 2),
+                    ("evap", 1, False, 2)]
     n_streams = len(streams)
-    # outputs: u, v, pott, qv, qc (nz) + colp (1)
-    out_nk = [nz, nz, nz, nz, nz, 1]
-    out_zero_ghost = [False, True, False, False, False, False]
-    n_outs = 6
+    # outputs: u, v, pott, qv, qc (nz) + colp (1) [+ tsurf, rain (1)]
+    out_nk = [nz, nz, nz, nz, nz, 1] + ([1, 1] if with_phys else [])
+    out_zero_ghost = [False, True, False, False, False, False] \
+        + ([False, False] if with_phys else [])
+    n_outs = len(out_nk)
+    gn = nyp - HALO - ny                      # north ghost+pad rows to fill
+    gmax = max(HALO, gn)
 
     def kernel(*refs):
         hbm = refs[:n_streams]
@@ -319,8 +347,12 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         csum = _cumsum_k(div * dsig)                         # (w, nz, nxp)
         w3 = -(csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) / cn  # (w, nz-1, nxp)
 
-        ctr = lambda x: x[HALO:HALO + bj]
-        cn_c, colp_c, cb_c = ctr(cn), ctr(ce), ctr(cb)
+        # `upd` slices carry the updated fields: the center block plus (when
+        # the physics epilogue is on) one extra halo row each side so the
+        # epilogue's neighbor reads stay valid on the center rows.
+        upd = lambda x: x[u0:u0 + nu]
+        ctr_of_upd = lambda x: x[ctr0:ctr0 + bj]
+        cn_c, cb_c = upd(cn), upd(cb)
         oslot = i % 2
 
         def out_descr(o, tile, slot):
@@ -344,16 +376,14 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
         outs_new = [None] * n_outs
 
-        def store(o, new):
-            outs_new[o] = fix_ghost_cols(new)
+        def store(o, new_center):
+            outs_new[o] = fix_ghost_cols(new_center)
             obufs[o][oslot] = outs_new[o]
-
-        store(5, cn_c)
 
         # ---- scalar tendencies + proceed (vectorized over k) ----
         zero_b = jnp.zeros_like(cn)
 
-        def scalar_update(q, qb, o, source=None, diff=0.0, clip=False):
+        def scalar_update(q, qb, source=None, diff=0.0, clip=False):
             fx = uflx * 0.5 * (_w(q) + q)
             fy = vflx * 0.5 * (_s(q) + q)
             dqdt = -(_e(fx) - fx + _n(fy) - fy) / area
@@ -366,17 +396,17 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 lap = (_e(q) - 2.0 * q + _w(q)) / (dx * dx) \
                     + (_n(q) - 2.0 * q + _s(q)) / (dy * dy)
                 dqdt = dqdt + diff * ce * lap
-            new = (ctr(qb) * cb_c + dt * ctr(dqdt)) / cn_c
+            new = (upd(qb) * cb_c + dt * upd(dqdt)) / cn_c
             if clip:
                 new = jnp.maximum(new, 0.0)
-            store(o, new)
+            return new
 
         if not same_base:
             wait_late_bases()
         rad = by_name.get("rad")
-        scalar_update(pt, ptb, 2, source=rad, diff=diff_pott)
-        scalar_update(qv, qvb, 3, diff=diff_moist, clip=True)
-        scalar_update(qc, qcb, 4, diff=diff_moist, clip=True)
+        pt2 = scalar_update(pt, ptb, source=rad, diff=diff_pott)
+        qv2 = scalar_update(qv, qvb, diff=diff_moist, clip=True)
+        qc2 = scalar_update(qc, qcb, diff=diff_moist, clip=True)
 
         # ---- momentum: u ----
         fxc = 0.5 * (uflx + _e(uflx)) * 0.5 * (u + _e(u))
@@ -405,7 +435,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             dudt = dudt + diff_uv * colp_u * lap
 
         cu_old = 0.5 * (_w(cb) + cb)
-        store(0, (ctr(ub) * ctr(cu_old) + dt * ctr(dudt)) / ctr(cn_u))
+        u2 = (upd(ub) * upd(cu_old) + dt * upd(dudt)) / upd(cn_u)
 
         # ---- momentum: v ----
         fyc_v = 0.5 * (vflx + _n(vflx)) * 0.5 * (v + _n(v))
@@ -433,35 +463,195 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             dvdt = dvdt + diff_uv * colp_v * lap
 
         cv_old = 0.5 * (_s(cb) + cb)
-        v_new = (ctr(vb) * ctr(cv_old) + dt * ctr(dvdt)) / ctr(cn_v)
-        # south wall: global v row 0 (tile 0, output row 0) stays zero
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (bj, 1, 1), 0) + i * bj
-        v_new = jnp.where(row_ids == 0, jnp.zeros_like(v_new), v_new)
-        store(1, v_new)
+        v2 = (upd(vb) * upd(cv_old) + dt * upd(dvdt)) / upd(cn_v)
+        # v walls: global row 0 stays zero, and any slice rows beyond the
+        # domain (the north wall face and ghost rows, read by the physics
+        # epilogue's surface-wind average) are zero too. Global row of upd
+        # slice index r is i*bj + r - ctr0.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0) \
+            + i * bj - ctr0
+        v_wall = jnp.logical_or(row_ids <= 0, row_ids >= ny)
+        v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+
+        if not with_phys:
+            store(0, u2)
+            store(1, v2)
+            store(2, pt2)
+            store(3, qv2)
+            store(4, qc2)
+            store(5, cn_c)
+        else:
+            # ---------------- physics epilogue ----------------
+            # surface + turbulence + microphysics on the updated fields
+            # (same math as physics/packed.py, which mirrors the std physics
+            # modules; all slices are (nu, K, nxp) with center rows
+            # [ctr0, ctr0+bj)). u2/v2 need valid wrap columns first (their
+            # ghost-column values were computed from clamp garbage).
+            (w_srf, w_trb, w_mic, drag_coef, soil_cap, ocean_cap,
+             qc_tau, qc_thr, k_scalar, k_mom) = phys
+            u2 = fix_ghost_cols(u2)
+            v2 = fix_ghost_cols(v2)
+            # pt2 feeds laterally-shifted dz/rho in the turbulence epilogue
+            pt2 = fix_ghost_cols(pt2)
+            cn_u2 = cn_c                      # (nu, 1, nxp), wrap cols valid
+            tsurf2 = upd(by_name["tsurf"])[:, 0]
+            rain2 = upd(by_name["rain"])[:, 0]
+            sw2 = upd(by_name["sw"])[:, 0]
+            lw2 = upd(by_name["lw"])[:, 0]
+            land2 = upd(by_name["land"])[:, 0]
+            alb2 = upd(by_name["alb"])[:, 0]
+            evap2 = upd(by_name["evap"])[:, 0]
+
+            # pressure/Exner of the NEW colp (physics sees post-dynamics colp)
+            pvb_n = ptop + sig_b * cn_u2                   # (nu, nz+1, nxp)
+            pvtfvb_n = (pvb_n / c.P_REF) ** c.KAPPA
+            pvtf_n = (pvb_n[:, 1:] * pvtfvb_n[:, 1:]
+                      - pvb_n[:, :-1] * pvtfvb_n[:, :-1]) \
+                / ((1.0 + c.KAPPA) * (pvb_n[:, 1:] - pvb_n[:, :-1]))
+
+            def row_shift_s(x):
+                return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+            def row_shift_n(x):
+                return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+            if w_srf:
+                # ---- surface (2-D math on squeezed (nu, nxp) arrays) ----
+                pvtf_b = pvtf_n[:, -1]
+                t_air = pt2[:, -1] * pvtf_b
+                p_air = 0.5 * (pvb_n[:, -2] + pvb_n[:, -1])
+                rho = p_air / (c.R_D * t_air)
+                u_b, v_b = u2[:, -1], v2[:, -1]
+                u_cc = 0.5 * (u_b + _e(u_b))
+                v_cc = 0.5 * (v_b + row_shift_n(v_b))
+                wind = jnp.sqrt(u_cc * u_cc + v_cc * v_cc + 1.0)
+                shflx = rho * c.C_P * drag_coef * wind * (tsurf2 - t_air)
+                t_c = tsurf2 - c.T_ZERO_C
+                esat = c.MAGNUS_E0 * jnp.exp(
+                    c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
+                qsat_s = c.EPS_V * esat / jnp.maximum(
+                    pvb_n[:, -1] - (1.0 - c.EPS_V) * esat, 1.0)
+                evap_f = rho * drag_coef * wind * evap2 \
+                    * jnp.maximum(qsat_s - qv2[:, -1], 0.0)
+                lhflx = c.L_V * evap_f
+                taux = -rho * drag_coef * wind * u_cc
+                tauy = -rho * drag_coef * wind * v_cc
+                heat_cap = jnp.where(land2 > 0.5, soil_cap, ocean_cap)
+                net = sw2 + lw2 - shflx - lhflx
+                tsurf2 = tsurf2 + dt * net / heat_cap
+                dp_sfc = cn_u2[:, 0] * dsig
+                m_sfc = dp_sfc / c.G
+                pt2 = pt2.at[:, -1].add(
+                    dt * shflx / (c.C_P * m_sfc) / pvtf_b)
+                qv2 = qv2.at[:, -1].add(dt * evap_f / m_sfc)
+                m_u = 0.5 * (_w(dp_sfc) + dp_sfc) / c.G
+                m_v = 0.5 * (row_shift_s(dp_sfc) + dp_sfc) / c.G
+                u2 = u2.at[:, -1].add(dt * 0.5 * (_w(taux) + taux) / m_u)
+                v2 = v2.at[:, -1].add(
+                    dt * 0.5 * (row_shift_s(tauy) + tauy) / m_v)
+                v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+
+            if w_trb:
+                # ---- turbulence: vertical K-diffusion ----
+                jump_n = c.C_P * pt2 * (pvtfvb_n[:, 1:] - pvtfvb_n[:, :-1])
+                total_n = jnp.sum(jump_n, axis=1, keepdims=True)
+                sfx = total_n - _cumsum_k(jump_n)
+                phivb_sfc = c.G * upd(hs)
+                phi_n = phivb_sfc + sfx + c.C_P * pt2 * (pvtfvb_n[:, 1:]
+                                                         - pvtf_n)
+                phivb_rest = phivb_sfc + sfx + jump_n
+                phivb_n = jnp.concatenate([phivb_rest, phivb_sfc], axis=1)
+                tair_n = pt2 * pvtf_n
+                z_cn = phi_n / c.G
+                z_vbn = phivb_n / c.G
+                dz_cn = z_vbn[:, :-1] - z_vbn[:, 1:]
+                dz_vbn = z_cn[:, :-1] - z_cn[:, 1:]
+                pair_vb = pvb_n[:, 1:-1]
+                tair_vb = 0.5 * (tair_n[:, :-1] + tair_n[:, 1:])
+                rho_vb = pair_vb / (c.R_D * tair_vb)
+                rho_cn = (pvb_n[:, 1:] - pvb_n[:, :-1]) / (c.G * dz_cn)
+
+                def diffuse(x, kco, dzc, dzvb, rvb, rc):
+                    grad = (x[:, :-1] - x[:, 1:]) / dzvb
+                    flux = -kco * rvb * grad
+                    zz = jnp.zeros_like(flux[:, :1])
+                    flux = jnp.concatenate([zz, flux, zz], axis=1)
+                    return x + dt * (flux[:, 1:] - flux[:, :-1]) / (rc * dzc)
+
+                pt2 = diffuse(pt2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn)
+                qv2 = jnp.maximum(
+                    diffuse(qv2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn), 0.0)
+                qc2 = jnp.maximum(
+                    diffuse(qc2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn), 0.0)
+                dz_c_u = 0.5 * (_w(dz_cn) + dz_cn)
+                dz_vb_u = 0.5 * (_w(dz_vbn) + dz_vbn)
+                rvb_u = 0.5 * (_w(rho_vb) + rho_vb)
+                rc_u = 0.5 * (_w(rho_cn) + rho_cn)
+                u2 = diffuse(u2, k_mom, dz_c_u, dz_vb_u, rvb_u, rc_u)
+                dz_c_v = 0.5 * (row_shift_s(dz_cn) + dz_cn)
+                dz_vb_v = 0.5 * (row_shift_s(dz_vbn) + dz_vbn)
+                rvb_v = 0.5 * (row_shift_s(rho_vb) + rho_vb)
+                rc_v = 0.5 * (row_shift_s(rho_cn) + rho_cn)
+                v2 = diffuse(v2, k_mom, dz_c_v, dz_vb_v, rvb_v, rc_v)
+                v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+
+            if w_mic:
+                # ---- microphysics: saturation adjustment + autoconversion ----
+                pair = 0.5 * (pvb_n[:, :-1] + pvb_n[:, 1:])
+                tair_m = pt2 * pvtf_n
+                t_c = tair_m - c.T_ZERO_C
+                esat = c.MAGNUS_E0 * jnp.exp(
+                    c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
+                qsat = c.EPS_V * esat / jnp.maximum(
+                    pair - (1.0 - c.EPS_V) * esat, 1.0)
+                gamma = 1.0 + (c.L_V ** 2) * qsat \
+                    / (c.C_P * c.R_V * tair_m * tair_m)
+                dq = (qv2 - qsat) / gamma
+                cond = jnp.maximum(dq, 0.0)
+                evp = jnp.minimum(qc2, jnp.maximum(-dq, 0.0))
+                dqc = cond - evp
+                qv2 = jnp.maximum(qv2 - dqc, 0.0)
+                qc2 = qc2 + dqc
+                pt2 = pt2 + (c.L_V / c.C_P) * dqc / pvtf_n
+                frac = 1.0 - float(np.exp(-dt / qc_tau))
+                to_rain = jnp.maximum(qc2 - qc_thr, 0.0) * frac
+                qc2 = jnp.maximum(qc2 - to_rain, 0.0)
+                rain2 = rain2 + jnp.sum(to_rain, axis=1) \
+                    * cn_u2[:, 0] * dsig / c.G
+
+            store(0, ctr_of_upd(u2))
+            store(1, ctr_of_upd(v2))
+            store(2, ctr_of_upd(pt2))
+            store(3, ctr_of_upd(qv2))
+            store(4, ctr_of_upd(qc2))
+            store(5, ctr_of_upd(cn_c))
+            store(6, ctr_of_upd(tsurf2[:, None]))
+            store(7, ctr_of_upd(rain2[:, None]))
 
         # ---- output DMA ----
         for o in range(n_outs):
             out_descr(o, i, oslot).start()
 
         # ---- wall-ghost rows (edge tiles only; sequenced after main DMA) ----
-        def ghost_descr(o, row0):
+        def ghost_descr(o, row0, nrows):
             return pltpu.make_async_copy(
-                gbufs[o], hbm_out[o].at[pl.ds(row0, HALO)], sem_g.at[o])
+                gbufs[o].at[pl.ds(0, nrows)],
+                hbm_out[o].at[pl.ds(row0, nrows)], sem_g.at[o])
 
         @pl.when(i == 0)
         def _():
             for o in range(n_outs):
                 src = (jnp.zeros_like(outs_new[o][:1])
                        if out_zero_ghost[o] else outs_new[o][:1])
-                src = jnp.broadcast_to(src, (HALO,) + outs_new[o].shape[1:])
+                src = jnp.broadcast_to(src, (gmax,) + outs_new[o].shape[1:])
                 gbufs[o][...] = src
-                d = ghost_descr(o, 0)
+                d = ghost_descr(o, 0, HALO)
                 d.start()
                 d.wait()
 
         @pl.when(i == nt - 1)
         def _():
-            # drain outstanding main DMAs first: ghost rows [2+ny, 4+ny)
+            # drain outstanding main DMAs first: the north ghost rows
             # overlap the last tile's pad rows when bj does not divide ny
             for o in range(n_outs):
                 @pl.when(i >= 1)
@@ -472,9 +662,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             for o in range(n_outs):
                 src = (jnp.zeros_like(outs_new[o][:1])
                        if out_zero_ghost[o] else outs_new[o][last:last + 1])
-                src = jnp.broadcast_to(src, (HALO,) + outs_new[o].shape[1:])
+                src = jnp.broadcast_to(src, (gmax,) + outs_new[o].shape[1:])
                 gbufs[o][...] = src
-                d = ghost_descr(o, HALO + ny)
+                d = ghost_descr(o, HALO + ny, gn)
                 d.start()
                 d.wait()
 
@@ -493,7 +683,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         scratch.append(pltpu.VMEM((2, bj, nk, nxp), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, n_outs)))
     for nk in out_nk:
-        scratch.append(pltpu.VMEM((HALO, nk, nxp), dtype))
+        scratch.append(pltpu.VMEM((gmax, nk, nxp), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((n_outs,)))
 
     call = pl.pallas_call(

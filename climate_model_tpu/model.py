@@ -61,19 +61,26 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
 
 def make_packed_step_fn(cfg: ModelConfig, bj: int):
     """Full model step on the PACKED state layout (kernels/packing.py):
-    fused Pallas dycore substeps chain in packed space and the physics
-    splits run natively packed (physics/packed.py) — the state never
-    leaves the kernel layout inside a scan chunk."""
+    fused Pallas dycore substeps chain in packed space, and the fast physics
+    (surface + turbulence + microphysics) run as an EPILOGUE inside the
+    corrector kernel — one HBM pass per substep for the entire model step.
+    Radiation refreshes its cache packed (interval cond)."""
     from .core.grid import make_grid
     from .kernels.fused_substep import make_fused_substep_packed
     from .kernels.packing import PackedAux, PackedState
-    from .physics.packed import (microphysics_step_packed, packed_pressure,
-                                 radiation_step_packed, surface_step_packed,
-                                 turbulence_step_packed)
+    from .physics.packed import radiation_step_packed
 
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     grid_np = make_grid(gc, num, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
+    any_split = phys.surface or phys.turbulence or phys.microphysics
+    phys_tuple = None
+    if any_split:
+        phys_tuple = (phys.surface, phys.turbulence, phys.microphysics,
+                      phys.drag_coef, phys.soil_heat_capacity,
+                      phys.ocean_heat_capacity, phys.qc_autoconv_time,
+                      phys.qc_autoconv_threshold, phys.diff_coef_scalar,
+                      phys.diff_coef_momentum)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               diff_uv=num.diff_uv, diff_pott=num.diff_pott,
@@ -81,41 +88,24 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
               dtype=jnp.dtype(cfg.dtype),
               interpret=jax.default_backend() == "cpu")
     pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
-    corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False, **kw)
+    corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
+                                       phys=phys_tuple, **kw)
     dt = float(grid_np.dt)
-    any_split = phys.surface or phys.turbulence or phys.microphysics
 
     def step(ps: PackedState, aux: PackedAux) -> PackedState:
         if phys.radiation:
             ps = radiation_step_packed(ps, aux, cfg, nz)
         rad = (ps.dpottdt_rad,) if phys.radiation else ()
+        pa = ((ps.tsurf, ps.rain, ps.swflx_sfc, ps.lwflx_sfc,
+               aux.land_mask, aux.albedo, aux.evap_eff)
+              if phys_tuple is not None else ())
         base = (ps.u, ps.v, ps.pott, ps.qv, ps.qc, ps.colp)
         p = pred_k(*base, aux.hsurf, *rad, aux.geo)
-        out = corr_k(*p, *base, aux.hsurf, *rad, aux.geo)
+        out = corr_k(*p, *base, aux.hsurf, *rad, *pa, aux.geo)
         ps = ps.replace(u=out[0], v=out[1], pott=out[2], qv=out[3],
                         qc=out[4], colp=out[5])
-        if any_split:
-            press = packed_pressure(ps.colp, nz, gc.ptop)
-        if phys.surface:
-            ps = surface_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
-        if phys.turbulence:
-            ps = turbulence_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
-        if phys.microphysics:
-            ps = microphysics_step_packed(ps, aux, cfg, dt, nz, ny, nx, press)
-        if any_split:
-            # one ghost refresh per step: physics is column-local (only the
-            # surface model READS ghosts, and only of the kernel outputs,
-            # which are fresh), so stale ghosts never feed valid points
-            # within the splits; the next step's kernels need them fresh.
-            from .kernels.packing import refresh_ghosts
-            ps = ps.replace(
-                u=refresh_ghosts(ps.u, ny, nx),
-                v=refresh_ghosts(ps.v, ny, nx, zero_ghost_rows=True),
-                pott=refresh_ghosts(ps.pott, ny, nx),
-                qv=refresh_ghosts(ps.qv, ny, nx),
-                qc=refresh_ghosts(ps.qc, ny, nx),
-                tsurf=refresh_ghosts(ps.tsurf, ny, nx),
-                rain=refresh_ghosts(ps.rain, ny, nx))
+        if phys_tuple is not None:
+            ps = ps.replace(tsurf=out[6], rain=out[7])
         return ps.replace(t=ps.t + dt, step=ps.step + 1)
 
     return step
