@@ -156,6 +156,13 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    from .io.plot import quicklook_nc
+    out = args.out or (args.nc.rsplit(".", 1)[0] + ".png")
+    print(quicklook_nc(args.nc, out, level=args.level))
+    return 0
+
+
 def cmd_profile(args) -> int:
     _enable_cache()
     cfg = build_config(args)
@@ -236,6 +243,12 @@ def main(argv=None) -> int:
     pp.add_argument("--trace-dir", default=None,
                     help="write a jax.profiler trace here")
     pp.set_defaults(fn=cmd_profile)
+
+    pl_ = sub.add_parser("plot", help="quicklook PNG from an out_XXXX.nc")
+    pl_.add_argument("nc")
+    pl_.add_argument("--out", default=None)
+    pl_.add_argument("--level", type=int, default=-1)
+    pl_.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)
     return args.fn(args)

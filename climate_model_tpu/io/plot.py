@@ -1,0 +1,68 @@
+"""Quicklook plots.
+
+The reference's de-facto verification included visual inspection of output
+fields (SURVEY.md §4 item 4; its README showcases rendered fields). This
+module renders a multi-panel quicklook from an output NetCDF file (or a live
+State) to PNG: surface pressure + lowest-level wind, temperature, water
+vapor, accumulated rain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quicklook_nc(nc_path: str, png_path: str, level: int = -1) -> str:
+    """Render a quicklook PNG from an out_XXXX.nc file."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(nc_path, "r", mmap=False) as f:
+        u = np.asarray(f.variables["UWIND"][0])
+        v = np.asarray(f.variables["VWIND"][0])
+        tair = np.asarray(f.variables["TAIR"][0])
+        qv = np.asarray(f.variables["QV"][0])
+        psurf = np.asarray(f.variables["PSURF"][0])
+        rain = np.asarray(f.variables["RAIN"][0])
+        t_days = float(np.asarray(f.variables["time"][0]))
+    return _render(u, v, tair, qv, psurf, rain, t_days, png_path, level)
+
+
+def _render(u, v, tair, qv, psurf, rain, t_days, png_path, level=-1) -> str:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(13, 7), constrained_layout=True)
+    ny, nx = psurf.shape
+    lon = np.linspace(0, 360, nx, endpoint=False)
+    lat = np.linspace(-80, 80, ny)
+
+    ax = axes[0, 0]
+    m = ax.pcolormesh(lon, lat, psurf / 100.0, cmap="viridis", shading="auto")
+    sub = max(nx // 36, 1)
+    ax.quiver(lon[::sub], lat[::sub], u[level][::sub, ::sub],
+              v[level][::sub, ::sub], color="white", scale=400)
+    fig.colorbar(m, ax=ax, label="hPa")
+    ax.set_title(f"PSURF + wind (level {level}), day {t_days:.2f}")
+
+    ax = axes[0, 1]
+    m = ax.pcolormesh(lon, lat, tair[level], cmap="RdYlBu_r", shading="auto")
+    fig.colorbar(m, ax=ax, label="K")
+    ax.set_title("TAIR")
+
+    ax = axes[1, 0]
+    m = ax.pcolormesh(lon, lat, 1e3 * qv[level], cmap="Blues", shading="auto")
+    fig.colorbar(m, ax=ax, label="g/kg")
+    ax.set_title("QV")
+
+    ax = axes[1, 1]
+    m = ax.pcolormesh(lon, lat, rain, cmap="GnBu", shading="auto")
+    fig.colorbar(m, ax=ax, label="kg/m$^2$")
+    ax.set_title("accumulated RAIN")
+
+    for ax in axes.flat:
+        ax.set_xlabel("lon")
+        ax.set_ylabel("lat")
+    fig.savefig(png_path, dpi=110)
+    plt.close(fig)
+    return png_path

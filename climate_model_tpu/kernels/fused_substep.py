@@ -541,14 +541,19 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 tsurf2 = tsurf2 + dt * net / heat_cap
                 dp_sfc = cn_u2[:, 0] * dsig
                 m_sfc = dp_sfc / c.G
-                pt2 = pt2.at[:, -1].add(
-                    dt * shflx / (c.C_P * m_sfc) / pvtf_b)
-                qv2 = qv2.at[:, -1].add(dt * evap_f / m_sfc)
+
+                def add_bottom(x, delta):
+                    # Mosaic has no dynamic-update-slice on values; update
+                    # the bottom level via a static concatenate instead.
+                    return jnp.concatenate(
+                        [x[:, :-1], x[:, -1:] + delta[:, None]], axis=1)
+
+                pt2 = add_bottom(pt2, dt * shflx / (c.C_P * m_sfc) / pvtf_b)
+                qv2 = add_bottom(qv2, dt * evap_f / m_sfc)
                 m_u = 0.5 * (_w(dp_sfc) + dp_sfc) / c.G
                 m_v = 0.5 * (row_shift_s(dp_sfc) + dp_sfc) / c.G
-                u2 = u2.at[:, -1].add(dt * 0.5 * (_w(taux) + taux) / m_u)
-                v2 = v2.at[:, -1].add(
-                    dt * 0.5 * (row_shift_s(tauy) + tauy) / m_v)
+                u2 = add_bottom(u2, dt * 0.5 * (_w(taux) + taux) / m_u)
+                v2 = add_bottom(v2, dt * 0.5 * (row_shift_s(tauy) + tauy) / m_v)
                 v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
 
             if w_trb:

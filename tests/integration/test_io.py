@@ -169,3 +169,13 @@ def test_topography_loader(tmp_path):
     assert land[j, i] == 1.0 and hsurf[j, i] > 500.0
     # ocean cells have zero HSURF
     assert hsurf[land < 0.5].max() == 0.0
+
+
+def test_quicklook_plot(small_run, tmp_path):
+    from climate_model_tpu.io.plot import quicklook_nc
+
+    cfg, state, forcing, grid = small_run
+    w = NCWriter(str(tmp_path))
+    p = w.write(state, grid, forcing)
+    png = quicklook_nc(p, str(tmp_path / "ql.png"))
+    assert os.path.getsize(png) > 10_000
