@@ -23,7 +23,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from climate_model_tpu.bench.throughput import run_benchmark
-    result = run_benchmark(baseline=3, steps=20, dtype="float32",
+    # steps=200: one scan is a single device dispatch; a short scan would
+    # fold the host->device dispatch latency (~30 ms through the axon
+    # tunnel) into the per-step number (profiling showed 20 steps reads
+    # ~2.4 ms/step where the device is busy only ~1.15 ms/step).
+    result = run_benchmark(baseline=3, steps=200, dtype="float32",
                            backend="pallas")
     print(json.dumps(result), flush=True)
 

@@ -517,11 +517,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
             if w_srf:
                 # ---- surface (2-D math on squeezed (nu, nxp) arrays) ----
-                pvtf_b = pvtf_n[:, -1]
-                t_air = pt2[:, -1] * pvtf_b
-                p_air = 0.5 * (pvb_n[:, -2] + pvb_n[:, -1])
+                # NOTE: positive int indices only — jnp lowers negative int
+                # indexing to dynamic_slice, which Mosaic cannot lower.
+                pvtf_b = pvtf_n[:, nz - 1]
+                t_air = pt2[:, nz - 1] * pvtf_b
+                p_air = 0.5 * (pvb_n[:, nz - 1] + pvb_n[:, nz])
                 rho = p_air / (c.R_D * t_air)
-                u_b, v_b = u2[:, -1], v2[:, -1]
+                u_b, v_b = u2[:, nz - 1], v2[:, nz - 1]
                 u_cc = 0.5 * (u_b + _e(u_b))
                 v_cc = 0.5 * (v_b + row_shift_n(v_b))
                 wind = jnp.sqrt(u_cc * u_cc + v_cc * v_cc + 1.0)
@@ -530,9 +532,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 esat = c.MAGNUS_E0 * jnp.exp(
                     c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
                 qsat_s = c.EPS_V * esat / jnp.maximum(
-                    pvb_n[:, -1] - (1.0 - c.EPS_V) * esat, 1.0)
+                    pvb_n[:, nz] - (1.0 - c.EPS_V) * esat, 1.0)
                 evap_f = rho * drag_coef * wind * evap2 \
-                    * jnp.maximum(qsat_s - qv2[:, -1], 0.0)
+                    * jnp.maximum(qsat_s - qv2[:, nz - 1], 0.0)
                 lhflx = c.L_V * evap_f
                 taux = -rho * drag_coef * wind * u_cc
                 tauy = -rho * drag_coef * wind * v_cc

@@ -114,17 +114,17 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
 def make_chunk_runner(cfg: ModelConfig, n_steps: int):
     """``run(state, grid, forcing) -> state`` advancing ``n_steps``.
 
-    jnp backend: plain scan of the full step. pallas backend: per-step
-    fused kernels with pack/unpack around each dynamics step (the default —
-    measured fastest at 1 deg on v5e), or, with CLIMATE_TPU_PACKED_SCAN=1,
-    the whole-scan packed-state path (kernels stay in packed layout and the
-    physics runs natively packed via physics/packed.py; mathematically
-    identical — tests/unit/test_pallas_substep.py — but currently slower on
-    v5e because the packed physics' thin (NYP,1,NXP) layouts and ghost
-    refresh DUS ops outweigh the saved transposes).
+    jnp backend: plain scan of the full step. pallas backend: the
+    whole-scan packed-state path (the default — kernels stay in the packed
+    layout across the scan and the fast physics run as an epilogue inside
+    the corrector kernel; 2.41 ms/step vs 2.64 for per-step packing at 1 deg
+    fp32 on v5e). CLIMATE_TPU_PACKED_SCAN=0 selects the older per-step
+    pack/unpack path (fused kernels with XLA transposes around each dynamics
+    step and jnp physics splits); both are mathematically identical
+    (tests/unit/test_pallas_substep.py).
     """
     import os
-    packed_scan = os.environ.get("CLIMATE_TPU_PACKED_SCAN", "0") == "1"
+    packed_scan = os.environ.get("CLIMATE_TPU_PACKED_SCAN", "1") == "1"
     if cfg.backend != "pallas" or not packed_scan:
         step = make_step_fn(cfg)
 
@@ -133,14 +133,26 @@ def make_chunk_runner(cfg: ModelConfig, n_steps: int):
 
         return run
 
+    # same static-config constraints as dynamics_step_fn's pallas branch
+    if cfg.numerics.time_stepping != "matsuno":
+        raise ValueError("backend='pallas' supports matsuno only")
+    if not (cfg.numerics.wind_tendency and cfg.numerics.colp_tendency
+            and cfg.numerics.temperature_tendency
+            and cfg.numerics.moisture_tendency):
+        raise ValueError("backend='pallas' requires all tendencies on "
+                         "(per-term switches are a jnp-backend debug feature)")
+
     from .kernels.fused_substep import pick_block_rows
     from .kernels.packing import pack_aux, pack_full, unpack_full
 
     gc = cfg.grid
     nz, ny, nx = gc.nz, gc.ny, gc.nx
+    phys = cfg.physics
+    with_phys = phys.surface or phys.turbulence or phys.microphysics
     bj = pick_block_rows(nz, ny, nx, same_base=False,
                          with_rad=cfg.physics.radiation,
-                         itemsize=jnp.dtype(cfg.dtype).itemsize)
+                         itemsize=jnp.dtype(cfg.dtype).itemsize,
+                         with_phys=with_phys)
     pstep = make_packed_step_fn(cfg, bj)
 
     def run(state: State, grid: Grid, forcing: Forcing) -> State:
