@@ -164,8 +164,9 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
         if -(-ny // bj) < 2:
             continue
         w = bj + HALO + (HALO_N if with_phys else HALO)
+        nu = bj + 2 if with_phys else bj
         eval_bufs = 5 * 2 * w * row3
-        base_bufs = (5 * 1 * w * row3) if not same_base else 0
+        base_bufs = (5 * 1 * nu * row3) if not same_base else 0
         rad_buf = (1 * w * row3) if with_rad else 0
         n_small = 8 + (7 * 2 if with_phys else 0)
         small = n_small * w * nxp * itemsize
@@ -211,6 +212,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     nu = bj + 2 if with_phys else bj
     u0 = HALO - 1 if with_phys else HALO      # tile-row offset of that slice
     ctr0 = 1 if with_phys else 0              # center offset within the slice
+    BASE3 = frozenset() if same_base else \
+        frozenset({"ub", "vb", "pottb", "qvb", "qcb"})
 
     # streamed inputs: (name, nk, zero_ghost, slots)
     streams = [("u", nz, False, 2), ("v", nz, True, 2), ("pott", nz, False, 2),
@@ -253,6 +256,12 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
         def in_descr(k, tile, slot):
             s = slot % streams[k][3]
+            # 3-D base fields are consumed only at the proceed stage (no
+            # stencil): stream just the nu update rows, not the w-row window.
+            if streams[k][0] in BASE3:
+                return pltpu.make_async_copy(
+                    hbm[k].at[pl.ds(tile * bj + u0, nu)], bufs[k].at[s],
+                    sem_in.at[s, k]), s
             return pltpu.make_async_copy(
                 hbm[k].at[pl.ds(tile * bj, w)], bufs[k].at[s],
                 sem_in.at[s, k]), s
@@ -269,7 +278,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 if st[3] == 2:
                     in_descr(k, i + 1, i + 1)[0].start()
 
-        late_wait = {"ub", "vb", "pottb", "qvb", "qcb"}
+        late_wait = BASE3
         for k, st in enumerate(streams):
             if st[3] == 1:
                 in_descr(k, i, 0)[0].start()
@@ -328,8 +337,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             / ((1.0 + c.KAPPA) * (pvb3[:, 1:] - pvb3[:, :-1]))
         # hydrostatic suffix sum: phivb[k+1] = g*hs + sum_{k'>k} jump[k']
         jump3 = c.C_P * pt * (pvtfvb3[:, 1:] - pvtfvb3[:, :-1])
-        total_j = jnp.sum(jump3, axis=1, keepdims=True)
         incl = _cumsum_k(jump3)                              # sum_{k'<=k}
+        total_j = incl[:, nz - 1:nz]                         # full-column sum
         suffix_excl = total_j - incl                         # sum_{k'>k}
         phi3 = c.G * hs + suffix_excl \
             + c.C_P * pt * (pvtfvb3[:, 1:] - pvtf3)
@@ -340,11 +349,11 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         uflx = u * colp_u * dy
         vflx = v * colp_v * dxs
         div = (_e(uflx) - uflx + _n(vflx) - vflx) / area
-        dcolpdt = -jnp.sum(div, axis=1, keepdims=True) * dsig   # (w, 1, nxp)
-        cn = cb + dt * dcolpdt
-
-        # WWIND interior borders 1..nz-1 via prefix cumsum over k
+        # WWIND interior borders 1..nz-1 via prefix cumsum over k; the
+        # column total (= -dCOLP/dt) is the cumsum's last element
         csum = _cumsum_k(div * dsig)                         # (w, nz, nxp)
+        dcolpdt = -csum[:, nz - 1:nz]                        # (w, 1, nxp)
+        cn = cb + dt * dcolpdt
         w3 = -(csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) / cn  # (w, nz-1, nxp)
 
         # `upd` slices carry the updated fields: the center block plus (when
@@ -352,6 +361,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         # epilogue's neighbor reads stay valid on the center rows.
         upd = lambda x: x[u0:u0 + nu]
         ctr_of_upd = lambda x: x[ctr0:ctr0 + bj]
+        # base 3-D fields arrive pre-windowed to the nu update rows
+        upd_b = upd if same_base else (lambda x: x)
         cn_c, cb_c = upd(cn), upd(cb)
         oslot = i % 2
 
@@ -396,7 +407,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 lap = (_e(q) - 2.0 * q + _w(q)) / (dx * dx) \
                     + (_n(q) - 2.0 * q + _s(q)) / (dy * dy)
                 dqdt = dqdt + diff * ce * lap
-            new = (upd(qb) * cb_c + dt * upd(dqdt)) / cn_c
+            new = (upd_b(qb) * cb_c + dt * upd(dqdt)) / cn_c
             if clip:
                 new = jnp.maximum(new, 0.0)
             return new
@@ -435,7 +446,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             dudt = dudt + diff_uv * colp_u * lap
 
         cu_old = 0.5 * (_w(cb) + cb)
-        u2 = (upd(ub) * upd(cu_old) + dt * upd(dudt)) / upd(cn_u)
+        u2 = (upd_b(ub) * upd(cu_old) + dt * upd(dudt)) / upd(cn_u)
 
         # ---- momentum: v ----
         fyc_v = 0.5 * (vflx + _n(vflx)) * 0.5 * (v + _n(v))
@@ -463,7 +474,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             dvdt = dvdt + diff_uv * colp_v * lap
 
         cv_old = 0.5 * (_s(cb) + cb)
-        v2 = (upd(vb) * upd(cv_old) + dt * upd(dvdt)) / upd(cn_v)
+        v2 = (upd_b(vb) * upd(cv_old) + dt * upd(dvdt)) / upd(cn_v)
         # v walls: global row 0 stays zero, and any slice rows beyond the
         # domain (the north wall face and ghost rows, read by the physics
         # epilogue's surface-wind average) are zero too. Global row of upd
@@ -561,8 +572,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             if w_trb:
                 # ---- turbulence: vertical K-diffusion ----
                 jump_n = c.C_P * pt2 * (pvtfvb_n[:, 1:] - pvtfvb_n[:, :-1])
-                total_n = jnp.sum(jump_n, axis=1, keepdims=True)
-                sfx = total_n - _cumsum_k(jump_n)
+                incl_n = _cumsum_k(jump_n)
+                sfx = incl_n[:, nz - 1:nz] - incl_n
                 phivb_sfc = c.G * upd(hs)
                 phi_n = phivb_sfc + sfx + c.C_P * pt2 * (pvtfvb_n[:, 1:]
                                                          - pvtf_n)
@@ -684,7 +695,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
     scratch = []
     for name, nk, _, slots in streams:
-        scratch.append(pltpu.VMEM((slots, w, nk, nxp), dtype))
+        rows = nu if name in BASE3 else w
+        scratch.append(pltpu.VMEM((slots, rows, nk, nxp), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, n_streams)))
     for nk in out_nk:
         scratch.append(pltpu.VMEM((2, bj, nk, nxp), dtype))
