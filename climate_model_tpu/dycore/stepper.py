@@ -95,8 +95,9 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     sources/splits stay jnp around it."""
     from ..core.grid import make_grid
     from ..kernels.fused_substep import (GEO_FIELDS, make_fused_substep_packed,
-                                        pack2, pack3, pack_geo, pack_state,
-                                        pick_block_rows, unpack2, unpack3)
+                                        pack_aux2, pack_geo, pack_prog,
+                                        pack_radf, pick_block_rows,
+                                        unpack_prog)
 
     gc, num = cfg.grid, cfg.numerics
     grid_np = make_grid(gc, num, np_mode=True)
@@ -120,16 +121,16 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     def step(state: State, grid: Grid, forcing: Forcing) -> State:
         geo_p = pack_geo(jnp.stack([getattr(grid, f) for f in GEO_FIELDS],
                                    axis=1), bj)
-        hs_p = pack2(forcing.hsurf, bj)
-        rad_p = (pack3(state.dpottdt_rad, bj),) if with_rad else ()
-        base = pack_state(state.u, state.v, state.pott, state.qv, state.qc,
-                          state.colp, bj)
-        p = pred_k(*base, hs_p, *rad_p, geo_p)
-        out = corr_k(*p, *base, hs_p, *rad_p, geo_p)
-        return state.replace(
-            u=unpack3(out[0], nz, ny, nx), v=unpack3(out[1], nz, ny, nx),
-            pott=unpack3(out[2], nz, ny, nx), qv=unpack3(out[3], nz, ny, nx),
-            qc=unpack3(out[4], nz, ny, nx), colp=unpack2(out[5], ny, nx))
+        z2 = jnp.zeros_like(state.colp)
+        aux2 = pack_aux2(forcing.hsurf, z2, z2, z2, bj)
+        rad_p = ((pack_radf(z2, z2, state.dpottdt_rad, bj),)
+                 if with_rad else ())
+        base = pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
+                         state.colp, state.tsurf, state.rain, bj)
+        p = pred_k(base, *rad_p, aux2, geo_p)
+        out = corr_k(p, base, *rad_p, aux2, geo_p)
+        u, v, pott, qv, qc, colp, _, _ = unpack_prog(out, nz, ny, nx)
+        return state.replace(u=u, v=v, pott=pott, qv=qv, qc=qc, colp=colp)
 
     return step
 

@@ -7,37 +7,60 @@ diagnostics + the mass-weighted update (reference files ``continuity_cuda.py``,
 ``geopotential_cuda.py``, ``diagnostics.py``, ``jacobson.py``'s
 ``proceed_timestep``; SURVEY.md §2.1 L4/L0) — fused into ONE HBM pass:
 
-    reads  u,v,pott,qv,qc (eval) [+ base copies for the Matsuno corrector]
-           + colp, hsurf, per-lat geometry [+ cached radiative heating]
-    writes u,v,pott,qv,qc,colp (updated)
+    reads  one prognostic SUPERTENSOR (eval) [+ the base supertensor for the
+           Matsuno corrector] + radiation/flux supertensor + static 2-D
+           supertensor (hsurf, land, albedo, evap) + per-lat geometry
+    writes one prognostic supertensor (updated)
 
 per substep, which is the HBM speed-of-light traffic floor (BASELINE.json
 "fused Pallas stencil kernels ... speed-of-light HBM-bandwidth per chip";
 bench/roofline.py implements the byte model).
 
-## Packed layout
+## Packed supertensor layout
 
 Mosaic constrains manual-DMA windows of HBM refs: lane extents must be
 multiples of 128 and sublane offsets/extents multiples of 8 (measured
 empirically on v5e), but the MAJOR dimension of a 3-D ref slices freely.
 The kernel therefore runs on a packed layout
 
-    packed[j, k, c] , shape (NYP, nz, NXP)        (latitude is dim 0!)
+    packed[j, k, c] , shape (NYP, K, NXP)        (latitude is dim 0!)
 
 with NXP = ceil((nx + 4)/128)*128 lanes: columns [GX, GX+nx) hold longitudes
 0..nx-1, columns [0, GX) and [GX+nx, 2*GX+nx) hold the periodic wrap (GX=2
 ghost columns each side — the lon seam becomes a static lane shift, no roll),
 the rest is dead padding. Rows: [2, 2+ny) are the physical latitudes with
 2 wall-ghost rows on each side (edge clamp; zeros for v) and optional dead
-pad rows up to NYP. 2-D fields travel as (NYP, 1, NXP).
+pad rows up to NYP.
+
+ALL model fields ride in THREE supertensors (k is axis 1), so a latitude
+tile is O(1) DMA issues instead of O(#fields) — at 1 deg the per-field
+streaming variant spent most of the step issuing ~29 thin copies per tile:
+
+    PROG (NYP, K2+pad8(5*nz), NXP): [colp | tsurf | rain | 5 dead |
+                                     u(nz) | v(nz) | pott(nz) | qv | qc | pad]
+    RADF (NYP, K2+pad8(nz),   NXP): [swflx_sfc | lwflx_sfc | 6 dead |
+                                     dpottdt_rad(nz) | pad]
+    AUX2 (NYP, K2,            NXP): [hsurf | land_mask | albedo | evap_eff |
+                                     4 dead]
+
+(K2 = 8 head slots; the 8-alignment makes every sub-window a legal Mosaic
+sublane window: the corrector streams PROG's 2-D head at the full stencil
+row window but the 3-D base fields — consumed only at the proceed stage —
+at just the update rows.)
 
 Latitude tiles of BJ rows stream through VMEM with a 2-row halo window
 (halo 2, not 1, because COLP_new and WWIND are tile-local intermediates that
-need their own 1-row halo); eval-state inputs and outputs are double-buffered
-(pallas_guide 'Patterns: Double Buffering'), corrector base-state streams are
-single-buffered to stay inside VMEM. The kernel maintains the ghost columns
-and wall-ghost rows of its outputs, so packed substeps chain without
-re-packing; pack/unpack (XLA transpose+concat) happens once per model step.
+need their own 1-row halo); the eval supertensor and the output are
+double-buffered (pallas_guide 'Patterns: Double Buffering'), corrector base
+streams are single-buffered with deferred waits so their DMA overlaps the
+tendency compute. The kernel maintains the ghost columns and wall-ghost rows
+of its outputs, so packed substeps chain without re-packing; pack/unpack
+(XLA transpose+concat) happens once per scan.
+
+Scoped VMEM is raised via CompilerParams.vmem_limit_bytes
+(CLIMATE_TPU_VMEM_LIMIT_MB, default 100 of the v5e's 128 MiB) so tiles can
+be tall: input halo re-read amplification is (BJ+5)/BJ, i.e. 1.25 at BJ=20
+vs 2.25 at the BJ=4 the old 16 MiB default forced.
 
 The jnp operators in dycore/operators.py are the numerical oracle for this
 kernel (tests/unit/test_pallas_substep.py, interpret mode, fp64).
@@ -46,6 +69,7 @@ kernel (tests/unit/test_pallas_substep.py, interpret mode, fp64).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +86,21 @@ HALO = 2          # south row-halo (and ghost-row offset of the packed rows)
 HALO_N = 3        # north row-halo: +1 so the physics epilogue can read the
                   # north neighbor of updated fields (surface wind average)
 GX = 2            # periodic ghost columns each side
+K2 = 8            # head slots of each supertensor (2-D fields + dead pad)
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def prog_k(nz: int) -> int:
+    """Sublane extent of the prognostic supertensor."""
+    return K2 + _pad8(5 * nz)
+
+
+def radf_k(nz: int) -> int:
+    """Sublane extent of the radiation/flux supertensor."""
+    return K2 + _pad8(nz)
 
 
 def lane_pad(nx: int) -> int:
@@ -74,7 +113,7 @@ def row_pad(ny: int, bj: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Pack / unpack (XLA side; once per model step)
+# Pack / unpack (XLA side; once per scan)
 # ---------------------------------------------------------------------------
 
 def pack3(x, bj: int, zero_ghost: bool = False):
@@ -109,9 +148,59 @@ def unpack2(xp, ny: int, nx: int):
     return xp[HALO:HALO + ny, 0, GX:GX + nx]
 
 
-def pack_state(u, v, pott, qv, qc, colp, bj: int):
-    return (pack3(u, bj), pack3(v, bj, zero_ghost=True), pack3(pott, bj),
-            pack3(qv, bj), pack3(qc, bj), pack2(colp, bj))
+def pack_prog(u, v, pott, qv, qc, colp, tsurf, rain, bj: int):
+    """Build the prognostic supertensor (NYP, prog_k(nz), NXP)."""
+    nz, ny, nx = u.shape
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    dead_h = jnp.zeros((nyp, K2 - 3, nxp), u.dtype)
+    parts = [pack2(colp, bj), pack2(tsurf, bj), pack2(rain, bj), dead_h,
+             pack3(u, bj), pack3(v, bj, zero_ghost=True), pack3(pott, bj),
+             pack3(qv, bj), pack3(qc, bj)]
+    tail = prog_k(nz) - K2 - 5 * nz
+    if tail:
+        parts.append(jnp.zeros((nyp, tail, nxp), u.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_prog(prog, nz: int, ny: int, nx: int):
+    """Inverse of pack_prog -> (u, v, pott, qv, qc, colp, tsurf, rain)."""
+    f3 = lambda k0: unpack3(prog[:, k0:k0 + nz], nz, ny, nx)
+    return (f3(K2), f3(K2 + nz), f3(K2 + 2 * nz), f3(K2 + 3 * nz),
+            f3(K2 + 4 * nz), unpack2(prog[:, 0:1], ny, nx),
+            unpack2(prog[:, 1:2], ny, nx), unpack2(prog[:, 2:3], ny, nx))
+
+
+def pack_radf(swflx_sfc, lwflx_sfc, dpottdt_rad, bj: int):
+    """Build the radiation/flux supertensor (NYP, radf_k(nz), NXP)."""
+    nz, ny, nx = dpottdt_rad.shape
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    parts = [pack2(swflx_sfc, bj), pack2(lwflx_sfc, bj),
+             jnp.zeros((nyp, K2 - 2, nxp), dpottdt_rad.dtype),
+             pack3(dpottdt_rad, bj)]
+    tail = radf_k(nz) - K2 - nz
+    if tail:
+        parts.append(jnp.zeros((nyp, tail, nxp), dpottdt_rad.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def pack_aux2(hsurf, land_mask, albedo, evap_eff, bj: int):
+    """Build the static 2-D supertensor (NYP, K2, NXP)."""
+    ny, nx = hsurf.shape
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    return jnp.concatenate(
+        [pack2(hsurf, bj), pack2(land_mask, bj), pack2(albedo, bj),
+         pack2(evap_eff, bj), jnp.zeros((nyp, K2 - 4, nxp), hsurf.dtype)],
+        axis=1)
+
+
+def pack_geo(geo, bj: int):
+    """(ny, K) -> (NYP, 1, K) with clamped ghost rows."""
+    ny, k = geo.shape
+    nyp = row_pad(ny, bj)
+    g = geo[:, None, :]
+    south = jnp.broadcast_to(g[:1], (HALO, 1, k))
+    north = jnp.broadcast_to(g[-1:], (nyp - ny - HALO, 1, k))
+    return jnp.concatenate([south, g, north], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -146,34 +235,36 @@ def _cumsum_k(x):
     return x
 
 
-import os
-
-_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "11"))
+_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "56"))
+_VMEM_LIMIT_MB = int(os.environ.get("CLIMATE_TPU_VMEM_LIMIT_MB", "100"))
 
 
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
                     with_rad: bool, itemsize: int = 4,
                     vmem_budget: int = None, with_phys: bool = False) -> int:
     """Largest tile height whose stream-buffer footprint fits the budget
-    (headroom left for Mosaic temporaries; tune via CLIMATE_TPU_VMEM_MB)."""
+    (headroom left for Mosaic temporaries, which also grow with the tile;
+    tune via CLIMATE_TPU_VMEM_MB / CLIMATE_TPU_VMEM_LIMIT_MB)."""
     if vmem_budget is None:
         vmem_budget = _VMEM_BUDGET_MB << 20
     nxp = lane_pad(nx)
-    row3 = nz * nxp * itemsize
-    for bj in (32, 24, 16, 12, 8, 6, 4, 3, 2):
-        if -(-ny // bj) < 2:
+    kp, kr = prog_k(nz), radf_k(nz)
+    for bj in (36, 32, 24, 20, 16, 12, 8, 6, 4, 3, 2):
+        nt = -(-ny // bj)
+        if nt < 2:
             continue
         w = bj + HALO + (HALO_N if with_phys else HALO)
         nu = bj + 2 if with_phys else bj
-        eval_bufs = 5 * 2 * w * row3
-        base_bufs = (5 * 1 * nu * row3) if not same_base else 0
-        rad_buf = (1 * w * row3) if with_rad else 0
-        n_small = 8 + (7 * 2 if with_phys else 0)
-        small = n_small * w * nxp * itemsize
-        n_out2 = 2 + (2 * 2 if with_phys else 0)
-        out_bufs = 5 * 2 * bj * row3 + n_out2 * bj * nxp * itemsize \
-            + (HALO + HALO_N) * row3
-        if eval_bufs + base_bufs + rad_buf + small + out_bufs <= vmem_budget:
+        rows = 2 * w * kp                                # eval supertensor
+        if not same_base:
+            rows += w * K2 + nu * (kp - K2)              # base head + body
+        if with_rad or with_phys:
+            rows += w * (kr if with_rad else K2)         # radf
+        rows += 2 * w * K2                               # aux2
+        rows += 2 * bj * kp                              # output
+        gmax = max(HALO, nt * bj - ny + HALO_N)
+        rows += gmax * kp                                # ghost-row buffer
+        if rows * nxp * itemsize <= vmem_budget:
             return bj
     raise ValueError(f"no viable fused-kernel tile height for ny={ny}")
 
@@ -185,24 +276,27 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               diff_uv: float = 0.0, diff_pott: float = 0.0,
                               diff_moist: float = 0.0, dtype=jnp.float32,
                               interpret: bool = False, phys: tuple = None):
-    """Fused substep on PACKED arrays. Returns
-    ``f(u, v, pott, qv, qc, colp, hs, geo[, base 6][, rad][, phys 7]) -> 6
-    (or 8) packed outputs``; all array args packed ((NYP, nz|1, NXP)); geo is
-    (NYP, 1, NGEO).
+    """Fused substep on PACKED supertensors. Returns
+
+        ``f(prog_eval[, prog_base][, radf], aux2, geo) -> prog_out``
+
+    with ``prog_base`` present iff not same_base, ``radf`` iff with_rad or
+    phys; all shapes per the module docstring; geo is (NYP, 1, NGEO).
 
     ``phys`` enables the physics EPILOGUE (surface + turbulence +
     microphysics run on the updated fields inside this kernel — one HBM pass
     for the entire model step when chained with the packed scan). It is a
     hashable tuple ``(with_surface, with_turb, with_mic, drag_coef,
     soil_heat_capacity, ocean_heat_capacity, qc_autoconv_time,
-    qc_autoconv_threshold, diff_coef_scalar, diff_coef_momentum)``; extra
-    inputs tsurf, rain, swflx_sfc, lwflx_sfc, land_mask, albedo, evap_eff
-    ((NYP,1,NXP)) follow rad, and outputs grow by (tsurf, rain)."""
+    qc_autoconv_threshold, diff_coef_scalar, diff_coef_momentum)``. Without
+    it, tsurf/rain pass through eval -> out unchanged."""
     if nz < 2:
         raise ValueError("fused kernel requires nz >= 2")
     with_phys = phys is not None
+    use_radf = with_rad or with_phys
     nt = -(-ny // bj)
     nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    kp, kr = prog_k(nz), radf_k(nz)
     w = bj + HALO + (HALO_N if with_phys else HALO)
     sig_vb = [float(s) for s in np.linspace(0.0, 1.0, nz + 1)]
     dsig = sig_vb[1] - sig_vb[0]
@@ -212,104 +306,114 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     nu = bj + 2 if with_phys else bj
     u0 = HALO - 1 if with_phys else HALO      # tile-row offset of that slice
     ctr0 = 1 if with_phys else 0              # center offset within the slice
-    BASE3 = frozenset() if same_base else \
-        frozenset({"ub", "vb", "pottb", "qvb", "qcb"})
 
-    # streamed inputs: (name, nk, zero_ghost, slots)
-    streams = [("u", nz, False, 2), ("v", nz, True, 2), ("pott", nz, False, 2),
-               ("qv", nz, False, 2), ("qc", nz, False, 2),
-               ("colp", 1, False, 2)]
+    # streams: (name, arg_idx, k0, nk, row_window, slots); the corrector's
+    # base supertensor splits into a 2-D head (full stencil window — COLP_old
+    # feeds the continuity stencil) and a 3-D body (update rows only — the
+    # big base fields are consumed only at the proceed stage)
+    streams = [("eval", 0, 0, kp, "w", 2)]
+    ai = 1
     if not same_base:
-        streams += [("ub", nz, False, 1), ("vb", nz, True, 1),
-                    ("pottb", nz, False, 1), ("qvb", nz, False, 1),
-                    ("qcb", nz, False, 1), ("colpb", 1, False, 1)]
-    streams += [("hs", 1, False, 2)]
-    if with_rad:
-        streams += [("rad", nz, False, 1)]
-    if with_phys:
-        streams += [("tsurf", 1, False, 2), ("rain", 1, False, 2),
-                    ("sw", 1, False, 2), ("lw", 1, False, 2),
-                    ("land", 1, False, 2), ("alb", 1, False, 2),
-                    ("evap", 1, False, 2)]
+        streams += [("base2d", ai, 0, K2, "w", 1),
+                    ("base3d", ai, K2, kp - K2, "nu", 1)]
+        ai += 1
+    if use_radf:
+        streams += [("radf", ai, 0, kr if with_rad else K2, "w", 1)]
+        ai += 1
+    streams += [("aux2", ai, 0, K2, "w", 2)]
+    n_args = ai + 1
     n_streams = len(streams)
-    # outputs: u, v, pott, qv, qc (nz) + colp (1) [+ tsurf, rain (1)]
-    out_nk = [nz, nz, nz, nz, nz, 1] + ([1, 1] if with_phys else [])
-    out_zero_ghost = [False, True, False, False, False, False] \
-        + ([False, False] if with_phys else [])
-    n_outs = len(out_nk)
+    late_wait = frozenset({"base3d"})
+
+    # output supertensor fields: (name, k0, nk, zero_ghost)
+    out_fields = [("colp", 0, 1, False), ("tsurf", 1, 1, False),
+                  ("rain", 2, 1, False), ("u", K2, nz, False),
+                  ("v", K2 + nz, nz, True), ("pott", K2 + 2 * nz, nz, False),
+                  ("qv", K2 + 3 * nz, nz, False),
+                  ("qc", K2 + 4 * nz, nz, False)]
     gn = nyp - HALO - ny                      # north ghost+pad rows to fill
     gmax = max(HALO, gn)
 
     def kernel(*refs):
-        hbm = refs[:n_streams]
-        geo_ref = refs[n_streams]
-        hbm_out = refs[n_streams + 1:n_streams + 1 + n_outs]
-        scr = refs[n_streams + 1 + n_outs:]
+        hbm = refs[:n_args]
+        geo_ref = refs[n_args]
+        out_ref = refs[n_args + 1]
+        scr = refs[n_args + 2:]
         bufs = scr[:n_streams]
         sem_in = scr[n_streams]
-        obufs = scr[n_streams + 1:n_streams + 1 + n_outs]
-        sem_out = scr[n_streams + 1 + n_outs]
-        gbufs = scr[n_streams + 2 + n_outs:n_streams + 2 + 2 * n_outs]
-        sem_g = scr[n_streams + 2 + 2 * n_outs]
+        obuf = scr[n_streams + 1]
+        sem_out = scr[n_streams + 2]
+        gbuf = scr[n_streams + 3]
+        sem_g = scr[n_streams + 4]
 
         i = pl.program_id(0)
 
-        def in_descr(k, tile, slot):
-            s = slot % streams[k][3]
-            # 3-D base fields are consumed only at the proceed stage (no
-            # stencil): stream just the nu update rows, not the w-row window.
-            if streams[k][0] in BASE3:
-                return pltpu.make_async_copy(
-                    hbm[k].at[pl.ds(tile * bj + u0, nu)], bufs[k].at[s],
-                    sem_in.at[s, k]), s
-            return pltpu.make_async_copy(
-                hbm[k].at[pl.ds(tile * bj, w)], bufs[k].at[s],
-                sem_in.at[s, k]), s
+        def in_descr(s, tile, slot):
+            name, a, k0, nk, rw, slots = streams[s]
+            sl = slot % slots
+            if rw == "nu":
+                row0, nrows = tile * bj + u0, nu
+            else:
+                row0, nrows = tile * bj, w
+            if k0 == 0 and nk == hbm[a].shape[1]:
+                src = hbm[a].at[pl.ds(row0, nrows)]
+            else:
+                src = hbm[a].at[pl.ds(row0, nrows), pl.ds(k0, nk)]
+            return pltpu.make_async_copy(src, bufs[s].at[sl],
+                                         sem_in.at[sl, s])
 
         @pl.when(i == 0)
         def _():
-            for k, st in enumerate(streams):
-                if st[3] == 2:
-                    in_descr(k, 0, 0)[0].start()
+            for s, st in enumerate(streams):
+                if st[5] == 2:
+                    in_descr(s, 0, 0).start()
 
         @pl.when(i + 1 < nt)
         def _():
-            for k, st in enumerate(streams):
-                if st[3] == 2:
-                    in_descr(k, i + 1, i + 1)[0].start()
+            for s, st in enumerate(streams):
+                if st[5] == 2:
+                    in_descr(s, i + 1, i + 1).start()
 
-        late_wait = BASE3
-        for k, st in enumerate(streams):
-            if st[3] == 1:
-                in_descr(k, i, 0)[0].start()
-        for k, st in enumerate(streams):
-            # the big single-buffered base arrays are only consumed at the
-            # proceed stage; defer their waits so the DMA overlaps the
-            # tendency compute of this tile
+        for s, st in enumerate(streams):
+            if st[5] == 1:
+                in_descr(s, i, 0).start()
+        for s, st in enumerate(streams):
+            # the single-buffered 3-D base body is only consumed at the
+            # proceed stage; defer its wait so the DMA overlaps the tendency
+            # compute of this tile
             if st[0] in late_wait:
                 continue
-            in_descr(k, i, i if st[3] == 2 else 0)[0].wait()
+            in_descr(s, i, i if st[5] == 2 else 0).wait()
 
-        def wait_late_bases():
-            for k, st in enumerate(streams):
+        def wait_late():
+            for s, st in enumerate(streams):
                 if st[0] in late_wait:
-                    in_descr(k, i, 0)[0].wait()
+                    in_descr(s, i, 0).wait()
 
         slot = i % 2
-        by_name = {}
-        for k, (name, nk, _, slots) in enumerate(streams):
-            by_name[name] = bufs[k][slot % slots]
+        sbuf = {st[0]: bufs[s][slot % st[5]] for s, st in enumerate(streams)}
 
-        u, v, pt, qv, qc = (by_name["u"], by_name["v"], by_name["pott"],
-                            by_name["qv"], by_name["qc"])
-        ce = by_name["colp"]                                # (w, 1, nxp)
-        hs = by_name["hs"]
+        E = sbuf["eval"]                                    # (w, kp, nxp)
+        ce = E[:, 0:1]
+        u, v = E[:, K2:K2 + nz], E[:, K2 + nz:K2 + 2 * nz]
+        pt = E[:, K2 + 2 * nz:K2 + 3 * nz]
+        qv = E[:, K2 + 3 * nz:K2 + 4 * nz]
+        qc = E[:, K2 + 4 * nz:K2 + 5 * nz]
         if same_base:
-            ub, vb, ptb, qvb, qcb, cb = u, v, pt, qv, qc, ce
+            cb = ce
+            ub, vb, ptb, qvb, qcb = u, v, pt, qv, qc
         else:
-            ub, vb, ptb, qvb, qcb, cb = (by_name["ub"], by_name["vb"],
-                                         by_name["pottb"], by_name["qvb"],
-                                         by_name["qcb"], by_name["colpb"])
+            cb = sbuf["base2d"][:, 0:1]                     # (w, 1, nxp)
+            # base body buffer holds the k-window [K2, kp) at the nu
+            # update rows: local k offsets drop the K2 head
+            B = sbuf["base3d"]
+            ub, vb = B[:, 0:nz], B[:, nz:2 * nz]
+            ptb = B[:, 2 * nz:3 * nz]
+            qvb = B[:, 3 * nz:4 * nz]
+            qcb = B[:, 4 * nz:5 * nz]
+        A2 = sbuf["aux2"]
+        hs = A2[:, 0:1]
+        rad = sbuf["radf"][:, K2:K2 + nz] if with_rad else None
 
         geo = geo_ref[pl.ds(i * bj, w)]                     # (w, 1, NGEO)
 
@@ -366,16 +470,14 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         cn_c, cb_c = upd(cn), upd(cb)
         oslot = i % 2
 
-        def out_descr(o, tile, slot):
+        def out_descr(tile, slot):
             return pltpu.make_async_copy(
-                obufs[o].at[slot],
-                hbm_out[o].at[pl.ds(HALO + tile * bj, bj)],
-                sem_out.at[slot, o])
+                obuf.at[slot], out_ref.at[pl.ds(HALO + tile * bj, bj)],
+                sem_out.at[slot])
 
         @pl.when(i >= 2)
         def _():
-            for o in range(n_outs):
-                out_descr(o, i - 2, oslot).wait()
+            out_descr(i - 2, oslot).wait()
 
         def fix_ghost_cols(new):
             """Maintain the periodic wrap columns of an output tile."""
@@ -385,11 +487,12 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 [west, new[..., GX:GX + nx], east,
                  new[..., 2 * GX + nx:]], axis=-1)
 
-        outs_new = [None] * n_outs
+        outs_new = {}
 
-        def store(o, new_center):
-            outs_new[o] = fix_ghost_cols(new_center)
-            obufs[o][oslot] = outs_new[o]
+        def store(name, new_center):
+            k0, nk = next((f[1], f[2]) for f in out_fields if f[0] == name)
+            outs_new[name] = fix_ghost_cols(new_center)
+            obuf[oslot, :, k0:k0 + nk] = outs_new[name]
 
         # ---- scalar tendencies + proceed (vectorized over k) ----
         zero_b = jnp.zeros_like(cn)
@@ -413,8 +516,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             return new
 
         if not same_base:
-            wait_late_bases()
-        rad = by_name.get("rad")
+            wait_late()
         pt2 = scalar_update(pt, ptb, source=rad, diff=diff_pott)
         qv2 = scalar_update(qv, qvb, diff=diff_moist, clip=True)
         qc2 = scalar_update(qc, qcb, diff=diff_moist, clip=True)
@@ -485,17 +587,21 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
 
         if not with_phys:
-            store(0, u2)
-            store(1, v2)
-            store(2, pt2)
-            store(3, qv2)
-            store(4, qc2)
-            store(5, cn_c)
+            store("u", u2)
+            store("v", v2)
+            store("pott", pt2)
+            store("qv", qv2)
+            store("qc", qc2)
+            store("colp", cn_c)
+            # tsurf/rain pass through unchanged (they are advanced by the
+            # epilogue variant; the jnp physics splits handle them here)
+            store("tsurf", upd(E[:, 1:2]))
+            store("rain", upd(E[:, 2:3]))
         else:
             # ---------------- physics epilogue ----------------
             # surface + turbulence + microphysics on the updated fields
-            # (same math as physics/packed.py, which mirrors the std physics
-            # modules; all slices are (nu, K, nxp) with center rows
+            # (same math as the jnp physics modules, which mirror the
+            # reference physics; all slices are (nu, K, nxp) with center rows
             # [ctr0, ctr0+bj)). u2/v2 need valid wrap columns first (their
             # ghost-column values were computed from clamp garbage).
             (w_srf, w_trb, w_mic, drag_coef, soil_cap, ocean_cap,
@@ -505,13 +611,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             # pt2 feeds laterally-shifted dz/rho in the turbulence epilogue
             pt2 = fix_ghost_cols(pt2)
             cn_u2 = cn_c                      # (nu, 1, nxp), wrap cols valid
-            tsurf2 = upd(by_name["tsurf"])[:, 0]
-            rain2 = upd(by_name["rain"])[:, 0]
-            sw2 = upd(by_name["sw"])[:, 0]
-            lw2 = upd(by_name["lw"])[:, 0]
-            land2 = upd(by_name["land"])[:, 0]
-            alb2 = upd(by_name["alb"])[:, 0]
-            evap2 = upd(by_name["evap"])[:, 0]
+            RF = sbuf["radf"]
+            tsurf2 = upd(E[:, 1:2])[:, 0]
+            rain2 = upd(E[:, 2:3])[:, 0]
+            sw2 = upd(RF[:, 0:1])[:, 0]
+            lw2 = upd(RF[:, 1:2])[:, 0]
+            land2 = upd(A2[:, 1:2])[:, 0]
+            evap2 = upd(A2[:, 3:4])[:, 0]
 
             # pressure/Exner of the NEW colp (physics sees post-dynamics colp)
             pvb_n = ptop + sig_b * cn_u2                   # (nu, nz+1, nxp)
@@ -637,73 +743,67 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 rain2 = rain2 + jnp.sum(to_rain, axis=1) \
                     * cn_u2[:, 0] * dsig / c.G
 
-            store(0, ctr_of_upd(u2))
-            store(1, ctr_of_upd(v2))
-            store(2, ctr_of_upd(pt2))
-            store(3, ctr_of_upd(qv2))
-            store(4, ctr_of_upd(qc2))
-            store(5, ctr_of_upd(cn_c))
-            store(6, ctr_of_upd(tsurf2[:, None]))
-            store(7, ctr_of_upd(rain2[:, None]))
+            store("u", ctr_of_upd(u2))
+            store("v", ctr_of_upd(v2))
+            store("pott", ctr_of_upd(pt2))
+            store("qv", ctr_of_upd(qv2))
+            store("qc", ctr_of_upd(qc2))
+            store("colp", ctr_of_upd(cn_c))
+            store("tsurf", ctr_of_upd(tsurf2[:, None]))
+            store("rain", ctr_of_upd(rain2[:, None]))
 
         # ---- output DMA ----
-        for o in range(n_outs):
-            out_descr(o, i, oslot).start()
+        out_descr(i, oslot).start()
 
         # ---- wall-ghost rows (edge tiles only; sequenced after main DMA) ----
-        def ghost_descr(o, row0, nrows):
+        def fill_ghost(row_sel):
+            for name, k0, nk, zg in out_fields:
+                src = (jnp.zeros_like(outs_new[name][:1]) if zg
+                       else outs_new[name][row_sel:row_sel + 1])
+                gbuf[:, k0:k0 + nk] = jnp.broadcast_to(
+                    src, (gmax,) + src.shape[1:])
+
+        def ghost_descr(row0, nrows):
             return pltpu.make_async_copy(
-                gbufs[o].at[pl.ds(0, nrows)],
-                hbm_out[o].at[pl.ds(row0, nrows)], sem_g.at[o])
+                gbuf.at[pl.ds(0, nrows)],
+                out_ref.at[pl.ds(row0, nrows)], sem_g)
 
         @pl.when(i == 0)
         def _():
-            for o in range(n_outs):
-                src = (jnp.zeros_like(outs_new[o][:1])
-                       if out_zero_ghost[o] else outs_new[o][:1])
-                src = jnp.broadcast_to(src, (gmax,) + outs_new[o].shape[1:])
-                gbufs[o][...] = src
-                d = ghost_descr(o, 0, HALO)
-                d.start()
-                d.wait()
+            fill_ghost(0)
+            d = ghost_descr(0, HALO)
+            d.start()
+            d.wait()
 
         @pl.when(i == nt - 1)
         def _():
             # drain outstanding main DMAs first: the north ghost rows
             # overlap the last tile's pad rows when bj does not divide ny
-            for o in range(n_outs):
-                @pl.when(i >= 1)
-                def _(o=o):
-                    out_descr(o, i - 1, (i - 1) % 2).wait()
-                out_descr(o, i, oslot).wait()
-            last = ny - 1 - (nt - 1) * bj       # row index of last real lat
-            for o in range(n_outs):
-                src = (jnp.zeros_like(outs_new[o][:1])
-                       if out_zero_ghost[o] else outs_new[o][last:last + 1])
-                src = jnp.broadcast_to(src, (gmax,) + outs_new[o].shape[1:])
-                gbufs[o][...] = src
-                d = ghost_descr(o, HALO + ny, gn)
-                d.start()
-                d.wait()
+            @pl.when(i >= 1)
+            def _():
+                out_descr(i - 1, (i - 1) % 2).wait()
+            out_descr(i, oslot).wait()
+            fill_ghost(ny - 1 - (nt - 1) * bj)  # row of last real lat
+            d = ghost_descr(HALO + ny, gn)
+            d.start()
+            d.wait()
 
     # ---------------- pallas_call assembly ----------------
-    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM) for _ in streams]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_args)]
     in_specs.append(pl.BlockSpec((nyp, 1, NGEO), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM))       # geo
-    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_outs
-    out_shape = [jax.ShapeDtypeStruct((nyp, nk, nxp), dtype) for nk in out_nk]
+    out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = jax.ShapeDtypeStruct((nyp, kp, nxp), dtype)
 
     scratch = []
-    for name, nk, _, slots in streams:
-        rows = nu if name in BASE3 else w
+    for name, a, k0, nk, rw, slots in streams:
+        rows = nu if rw == "nu" else w
         scratch.append(pltpu.VMEM((slots, rows, nk, nxp), dtype))
     scratch.append(pltpu.SemaphoreType.DMA((2, n_streams)))
-    for nk in out_nk:
-        scratch.append(pltpu.VMEM((2, bj, nk, nxp), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((2, n_outs)))
-    for nk in out_nk:
-        scratch.append(pltpu.VMEM((gmax, nk, nxp), dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((n_outs,)))
+    scratch.append(pltpu.VMEM((2, bj, kp, nxp), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.VMEM((gmax, kp, nxp), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
 
     call = pl.pallas_call(
         kernel,
@@ -715,6 +815,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_MB << 20,
         ),
     )
 
@@ -738,29 +839,19 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         diff_moist=diff_moist, dtype=dtype, interpret=interpret)
 
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
-        args = list(pack_state(u, v, pott, qv, qc, colp, bj))
+        z2 = jnp.zeros_like(colp)
+        args = [pack_prog(u, v, pott, qv, qc, colp, z2, z2, bj)]
         idx = 0
         if not same_base:
-            args += list(pack_state(*extra[idx:idx + 6], bj))
+            args.append(pack_prog(*extra[idx:idx + 6], z2, z2, bj))
             idx += 6
-        args.append(pack2(hs, bj))
         if with_rad:
-            args.append(pack3(extra[idx], bj))
+            args.append(pack_radf(z2, z2, extra[idx], bj))
             idx += 1
+        args.append(pack_aux2(hs, z2, z2, z2, bj))
         args.append(pack_geo(geo, bj))
         out = kern(*args)
-        return (unpack3(out[0], nz, ny, nx), unpack3(out[1], nz, ny, nx),
-                unpack3(out[2], nz, ny, nx), unpack3(out[3], nz, ny, nx),
-                unpack3(out[4], nz, ny, nx), unpack2(out[5], ny, nx))
+        u, v, pott, qv, qc, colp, _, _ = unpack_prog(out, nz, ny, nx)
+        return u, v, pott, qv, qc, colp
 
     return substep
-
-
-def pack_geo(geo, bj: int):
-    """(ny, K) -> (NYP, 1, K) with clamped ghost rows."""
-    ny, k = geo.shape
-    nyp = row_pad(ny, bj)
-    g = geo[:, None, :]
-    south = jnp.broadcast_to(g[:1], (HALO, 1, k))
-    north = jnp.broadcast_to(g[-1:], (nyp - ny - HALO, 1, k))
-    return jnp.concatenate([south, g, north], axis=0)

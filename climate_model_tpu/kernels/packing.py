@@ -1,17 +1,21 @@
 """Packed-layout state: keep the model state in the fused kernel's
-(lat, k, lon) lane-padded layout ACROSS the whole scan.
+(lat, k, lon) lane-padded SUPERTENSOR layout ACROSS the whole scan.
 
 Rationale (measured on v5e): per-step pack/unpack transposes+pads moved
-~800 MB/step — more than the fused kernels themselves. With the state held
-packed, pack/unpack happens once per scan chunk and the physics splits run
-natively on packed arrays (physics/packed.py).
+~800 MB/step — more than the fused kernels themselves; and per-FIELD
+streaming spent most of the step issuing ~29 thin DMAs per tile. With the
+state held as the kernel's supertensors, pack/unpack happens once per scan
+chunk, each substep is one kernel launch with O(1) DMA issues per tile, and
+the interval physics (radiation) runs natively on packed slices.
 
-Layout recap (kernels/fused_substep.py): arrays are (NYP, K, NXP) with
-latitude on dim 0 (rows [HALO, HALO+ny) real, wall-ghost rows each side,
-pad rows to NYP), K = nz levels (or 1 for 2-D fields), NXP lanes with GX
-periodic wrap ghost columns each side and dead padding beyond. Dead
-rows/columns may hold garbage (even NaN); they are never read by valid
-outputs and are dropped at unpack.
+Layout recap (kernels/fused_substep.py module docstring): arrays are
+(NYP, K, NXP) with latitude on dim 0 (rows [HALO, HALO+ny) real, wall-ghost
+rows each side, pad rows to NYP), K sublanes holding all fields
+back-to-back (PROG: [colp|tsurf|rain|dead|u|v|pott|qv|qc]; RADF:
+[sw|lw|dead|dpottdt_rad]; AUX2: [hsurf|land|albedo|evap|dead]), NXP lanes
+with GX periodic wrap ghost columns each side and dead padding beyond.
+Dead rows/columns/k-slots may hold garbage (even NaN); they are never read
+by valid outputs and are dropped at unpack.
 """
 
 from __future__ import annotations
@@ -22,32 +26,71 @@ import jax
 import jax.numpy as jnp
 
 from ..core.state import Forcing, State
-from .fused_substep import (GEO_FIELDS, GX, HALO, lane_pad, pack2, pack3,
-                            pack_geo, row_pad, unpack2, unpack3)
+from .fused_substep import (GEO_FIELDS, GX, HALO, K2, lane_pad, pack2,
+                            pack_aux2, pack_geo, pack_prog, pack_radf,
+                            row_pad, unpack2, unpack3)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PackedState:
-    """State pytree in packed layout. 3-D fields (NYP, nz, NXP); 2-D fields
-    (NYP, 1, NXP); scalars unchanged."""
+    """State pytree in the packed supertensor layout. ``nz`` is static
+    metadata (the k extents are padded, so it is not recoverable from the
+    array shapes)."""
 
-    u: jax.Array
-    v: jax.Array
-    pott: jax.Array
-    qv: jax.Array
-    qc: jax.Array
-    colp: jax.Array
-    tsurf: jax.Array
-    rain: jax.Array
-    dpottdt_rad: jax.Array
-    swflx_sfc: jax.Array
-    lwflx_sfc: jax.Array
+    prog: jax.Array        # (NYP, prog_k(nz), NXP)
+    radf: jax.Array        # (NYP, radf_k(nz), NXP)
     t: jax.Array
     step: jax.Array
+    nz: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     def replace(self, **kw) -> "PackedState":
         return dataclasses.replace(self, **kw)
+
+    # --- packed-slice accessors (views for the interval physics) ---
+    @property
+    def colp(self):
+        return self.prog[:, 0:1]
+
+    @property
+    def tsurf(self):
+        return self.prog[:, 1:2]
+
+    @property
+    def rain(self):
+        return self.prog[:, 2:3]
+
+    @property
+    def u(self):
+        return self.prog[:, K2:K2 + self.nz]
+
+    @property
+    def v(self):
+        return self.prog[:, K2 + self.nz:K2 + 2 * self.nz]
+
+    @property
+    def pott(self):
+        return self.prog[:, K2 + 2 * self.nz:K2 + 3 * self.nz]
+
+    @property
+    def qv(self):
+        return self.prog[:, K2 + 3 * self.nz:K2 + 4 * self.nz]
+
+    @property
+    def qc(self):
+        return self.prog[:, K2 + 4 * self.nz:K2 + 5 * self.nz]
+
+    @property
+    def swflx_sfc(self):
+        return self.radf[:, 0:1]
+
+    @property
+    def lwflx_sfc(self):
+        return self.radf[:, 1:2]
+
+    @property
+    def dpottdt_rad(self):
+        return self.radf[:, K2:K2 + self.nz]
 
 
 @jax.tree_util.register_dataclass
@@ -55,26 +98,37 @@ class PackedState:
 class PackedAux:
     """Static packed auxiliary fields (forcing + geometry)."""
 
-    hsurf: jax.Array      # (NYP, 1, NXP)
-    land_mask: jax.Array
-    albedo: jax.Array
-    evap_eff: jax.Array
+    aux2: jax.Array       # (NYP, K2, NXP): [hsurf|land|albedo|evap|dead]
     geo: jax.Array        # (NYP, 1, NGEO)
     lat: jax.Array        # (NYP, 1, 1)
     lon: jax.Array        # (1, 1, NXP)
     valid: jax.Array      # (NYP, 1, NXP) 1.0 on real rows/cols else 0.0
 
+    @property
+    def hsurf(self):
+        return self.aux2[:, 0:1]
+
+    @property
+    def land_mask(self):
+        return self.aux2[:, 1:2]
+
+    @property
+    def albedo(self):
+        return self.aux2[:, 2:3]
+
+    @property
+    def evap_eff(self):
+        return self.aux2[:, 3:4]
+
 
 def pack_full(state: State, bj: int) -> PackedState:
+    nz = state.u.shape[0]
     return PackedState(
-        u=pack3(state.u, bj), v=pack3(state.v, bj, zero_ghost=True),
-        pott=pack3(state.pott, bj), qv=pack3(state.qv, bj),
-        qc=pack3(state.qc, bj), colp=pack2(state.colp, bj),
-        tsurf=pack2(state.tsurf, bj), rain=pack2(state.rain, bj),
-        dpottdt_rad=pack3(state.dpottdt_rad, bj),
-        swflx_sfc=pack2(state.swflx_sfc, bj),
-        lwflx_sfc=pack2(state.lwflx_sfc, bj),
-        t=state.t, step=state.step)
+        prog=pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
+                       state.colp, state.tsurf, state.rain, bj),
+        radf=pack_radf(state.swflx_sfc, state.lwflx_sfc, state.dpottdt_rad,
+                       bj),
+        t=state.t, step=state.step, nz=nz)
 
 
 def unpack_full(ps: PackedState, template: State, nz: int, ny: int,
@@ -102,8 +156,8 @@ def pack_aux(forcing: Forcing, grid, bj: int, dtype) -> PackedAux:
     valid = jnp.zeros((nyp, 1, nxp), dtype)
     valid = valid.at[HALO:HALO + ny, :, GX:GX + nx].set(1.0)
     return PackedAux(
-        hsurf=pack2(forcing.hsurf, bj), land_mask=pack2(forcing.land_mask, bj),
-        albedo=pack2(forcing.albedo, bj), evap_eff=pack2(forcing.evap_eff, bj),
+        aux2=pack_aux2(forcing.hsurf, forcing.land_mask, forcing.albedo,
+                       forcing.evap_eff, bj),
         geo=geo, lat=lat, lon=lon, valid=valid)
 
 
@@ -127,21 +181,3 @@ def p_north(x):
 
 def p_south(x):
     return jnp.concatenate([x[:1], x[:-1]], axis=0)
-
-
-def refresh_ghosts(x, ny: int, nx: int, zero_ghost_rows: bool = False):
-    """Re-establish the periodic wrap columns and wall-ghost rows after an
-    update that touched only the valid region (physics splits). 3-D and 2-D
-    packed arrays alike ((NYP, K, NXP))."""
-    x = x.at[..., 0:GX].set(x[..., nx:nx + GX])
-    x = x.at[..., GX + nx:2 * GX + nx].set(x[..., GX:2 * GX])
-    if zero_ghost_rows:
-        x = x.at[0:HALO].set(0.0)
-        x = x.at[HALO + ny:].set(0.0)
-    else:
-        x = x.at[0:HALO].set(jnp.broadcast_to(x[HALO:HALO + 1],
-                                              (HALO,) + x.shape[1:]))
-        x = x.at[HALO + ny:].set(
-            jnp.broadcast_to(x[HALO + ny - 1:HALO + ny],
-                             (x.shape[0] - HALO - ny,) + x.shape[1:]))
-    return x

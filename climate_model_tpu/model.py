@@ -91,22 +91,16 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
                                        phys=phys_tuple, **kw)
     dt = float(grid_np.dt)
+    corr_radf = phys.radiation or phys_tuple is not None
 
     def step(ps: PackedState, aux: PackedAux) -> PackedState:
         if phys.radiation:
             ps = radiation_step_packed(ps, aux, cfg, nz)
-        rad = (ps.dpottdt_rad,) if phys.radiation else ()
-        pa = ((ps.tsurf, ps.rain, ps.swflx_sfc, ps.lwflx_sfc,
-               aux.land_mask, aux.albedo, aux.evap_eff)
-              if phys_tuple is not None else ())
-        base = (ps.u, ps.v, ps.pott, ps.qv, ps.qc, ps.colp)
-        p = pred_k(*base, aux.hsurf, *rad, aux.geo)
-        out = corr_k(*p, *base, aux.hsurf, *rad, *pa, aux.geo)
-        ps = ps.replace(u=out[0], v=out[1], pott=out[2], qv=out[3],
-                        qc=out[4], colp=out[5])
-        if phys_tuple is not None:
-            ps = ps.replace(tsurf=out[6], rain=out[7])
-        return ps.replace(t=ps.t + dt, step=ps.step + 1)
+        pred_args = (ps.prog,) + ((ps.radf,) if phys.radiation else ())
+        p = pred_k(*pred_args, aux.aux2, aux.geo)
+        corr_args = (p, ps.prog) + ((ps.radf,) if corr_radf else ())
+        prog = corr_k(*corr_args, aux.aux2, aux.geo)
+        return ps.replace(prog=prog, t=ps.t + dt, step=ps.step + 1)
 
     return step
 

@@ -1,16 +1,19 @@
-"""Physics parameterizations on the PACKED (lat, k, lon) state layout.
+"""Interval physics on the PACKED (lat, k, lon) supertensor layout.
 
-Same math as physics/{microphysics,surface,turbulence,radiation}.py (which
-remain the numerical reference, tested against the NumPy oracle), expressed
-on packed arrays so the state never leaves the fused kernel's layout during
-a scan (kernels/packing.py). Tests assert packed == standard on the valid
-region.
+Radiation is the only physics that runs OUTSIDE the fused kernel on the
+packed scan path: surface/turbulence/microphysics are column-local and
+cheap, so they run as the epilogue inside the fused corrector kernel
+(kernels/fused_substep.py); radiation is expensive and runs on its interval
+(reference ``i_rad_nth_hour`` / async-radiation capability, realized as a
+branchless ``lax.cond`` on the step counter).
 
-Conventions: K is axis 1; 2-D fields are (NYP, 1, NXP); horizontal shifts
-are the static packed shifts (ghost columns/rows provide seam + walls);
-every function re-establishes the ghosts of the fields it modifies.
-Dead pad rows/columns may compute garbage — column-local physics keeps it
-confined and unpack drops it.
+Same math as physics/radiation.py (which remains the numerical reference,
+tested against the NumPy oracle), expressed on packed arrays so the state
+never leaves the fused kernel's layout during a scan (kernels/packing.py).
+
+Conventions: K is axis 1; 2-D fields are (NYP, 1, NXP). Dead pad
+rows/columns may compute garbage — outputs are masked with the validity
+mask so garbage cannot become NaN in the cached heating fields.
 """
 
 from __future__ import annotations
@@ -20,10 +23,9 @@ import jax.numpy as jnp
 
 from ..core import constants as c
 from ..core.config import ModelConfig
-from ..kernels.packing import (GX, HALO, PackedAux, PackedState, p_east,
-                               p_north, refresh_ghosts)
+from ..kernels.fused_substep import K2, radf_k
+from ..kernels.packing import PackedAux, PackedState
 from .radiation import DAY0, K_LW_DRY, K_LW_QC, K_LW_QV, K_SW_DRY, K_SW_QV
-from .thermo import qsat_water
 
 
 def packed_pressure(colp, nz: int, ptop: float):
@@ -37,145 +39,10 @@ def packed_pressure(colp, nz: int, ptop: float):
     return pvb, pvtf, pvtfvb
 
 
-def microphysics_step_packed(ps: PackedState, aux: PackedAux,
-                             cfg: ModelConfig, dt, nz, ny, nx,
-                             press=None) -> PackedState:
-    pvb, pvtf, _ = press if press is not None else \
-        packed_pressure(ps.colp, nz, cfg.grid.ptop)
-    pair = 0.5 * (pvb[:, :-1] + pvb[:, 1:])
-    tair = ps.pott * pvtf
-    qsat = qsat_water(tair, pair)
-    gamma = 1.0 + (c.L_V ** 2) * qsat / (c.C_P * c.R_V * tair ** 2)
-    dq = (ps.qv - qsat) / gamma
-    cond = jnp.maximum(dq, 0.0)
-    evap = jnp.minimum(ps.qc, jnp.maximum(-dq, 0.0))
-    dqc = cond - evap
-    qv = jnp.maximum(ps.qv - dqc, 0.0)
-    qc = ps.qc + dqc
-    pott = ps.pott + (c.L_V / c.C_P) * dqc / pvtf
-
-    p = cfg.physics
-    frac = 1.0 - jnp.exp(-dt / p.qc_autoconv_time)
-    to_rain = jnp.maximum(qc - p.qc_autoconv_threshold, 0.0) * frac
-    qc = jnp.maximum(qc - to_rain, 0.0)
-    dsig = 1.0 / nz
-    rain = ps.rain + jnp.sum(to_rain, axis=1, keepdims=True) \
-        * ps.colp * dsig / c.G
-
-    return ps.replace(pott=pott, qv=qv, qc=qc, rain=rain)
-
-
-def surface_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
-                        dt, nz, ny, nx, press=None) -> PackedState:
-    # 2-D work runs on squeezed (NYP, NXP) arrays: the packed (NYP, 1, NXP)
-    # shape wastes 7/8 of the sublanes on TPU.
-    p = cfg.physics
-    pvb, pvtf, _ = press if press is not None else \
-        packed_pressure(ps.colp, nz, cfg.grid.ptop)
-    pvtf_b = pvtf[:, -1]
-    t_air = ps.pott[:, -1] * pvtf_b
-    p_air = 0.5 * (pvb[:, -2] + pvb[:, -1])
-    rho = p_air / (c.R_D * t_air)
-
-    u_b, v_b = ps.u[:, -1], ps.v[:, -1]
-    u_c = 0.5 * (u_b + p_east(u_b))
-    v_c = 0.5 * (v_b + p_north(v_b))
-    wind = jnp.sqrt(u_c ** 2 + v_c ** 2 + 1.0)
-
-    ch = p.drag_coef
-    tsurf2 = ps.tsurf[:, 0]
-    shflx = rho * c.C_P * ch * wind * (tsurf2 - t_air)
-    qsat_s = qsat_water(tsurf2, pvb[:, -1])
-    evap = rho * ch * wind * aux.evap_eff[:, 0] \
-        * jnp.maximum(qsat_s - ps.qv[:, -1], 0.0)
-    lhflx = c.L_V * evap
-    taux = -rho * ch * wind * u_c
-    tauy = -rho * ch * wind * v_c
-
-    heat_cap = jnp.where(aux.land_mask[:, 0] > 0.5, p.soil_heat_capacity,
-                         p.ocean_heat_capacity)
-    net = ps.swflx_sfc[:, 0] + ps.lwflx_sfc[:, 0] - shflx - lhflx
-    tsurf = (tsurf2 + dt * net / heat_cap)[:, None]
-
-    dsig_sfc = 1.0 / nz
-    dp_sfc = ps.colp[:, 0] * dsig_sfc
-    m_sfc = dp_sfc / c.G
-    pott = ps.pott.at[:, -1].add(dt * shflx / (c.C_P * m_sfc) / pvtf_b)
-    qv = ps.qv.at[:, -1].add(dt * evap / m_sfc)
-
-    from ..kernels.packing import p_south, p_west
-    m_u = 0.5 * (p_west(dp_sfc) + dp_sfc) / c.G
-    m_v = 0.5 * (p_south(dp_sfc) + dp_sfc) / c.G
-    du = dt * 0.5 * (p_west(taux) + taux) / m_u
-    dv = dt * 0.5 * (p_south(tauy) + tauy) / m_v
-    u = ps.u.at[:, -1].add(du)
-    v = ps.v.at[:, -1].add(dv)
-    v = v.at[HALO].set(jnp.zeros_like(v[HALO]))     # south wall row (global 0)
-
-    return ps.replace(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v)
-
-
-def turbulence_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
-                           dt, nz, ny, nx, press=None) -> PackedState:
-    p = cfg.physics
-    pvb, pvtf, pvtfvb = press if press is not None else \
-        packed_pressure(ps.colp, nz, cfg.grid.ptop)
-    # hydrostatic geopotential (packed): suffix sum over k
-    jump = c.C_P * ps.pott * (pvtfvb[:, 1:] - pvtfvb[:, :-1])
-    total = jnp.sum(jump, axis=1, keepdims=True)
-    incl = jnp.cumsum(jump, axis=1)
-    suffix_excl = total - incl
-    phivb_sfc = c.G * aux.hsurf
-    phi = phivb_sfc + suffix_excl + c.C_P * ps.pott * (pvtfvb[:, 1:] - pvtf)
-    phivb_rest = phivb_sfc + suffix_excl + jump      # phivb[k] = phivb[k+1]+jump
-    phivb = jnp.concatenate([phivb_rest, phivb_sfc], axis=1)  # (NYP, nz+1, NXP)
-
-    tair = ps.pott * pvtf
-    z_c = phi / c.G
-    z_vb = phivb / c.G
-    dz_c = z_vb[:, :-1] - z_vb[:, 1:]
-    dz_vb = z_c[:, :-1] - z_c[:, 1:]
-
-    pair_vb = pvb[:, 1:-1]
-    tair_vb = 0.5 * (tair[:, :-1] + tair[:, 1:])
-    rho_vb = pair_vb / (c.R_D * tair_vb)
-    rho_c = (pvb[:, 1:] - pvb[:, :-1]) / (c.G * dz_c)
-
-    def diffuse(x, k_coef, dzc, dzvb, rvb, rc):
-        grad = (x[:, :-1] - x[:, 1:]) / dzvb
-        flux = -k_coef * rvb * grad
-        zero = jnp.zeros_like(flux[:, :1])
-        flux = jnp.concatenate([zero, flux, zero], axis=1)
-        return x + dt * (flux[:, 1:] - flux[:, :-1]) / (rc * dzc)
-
-    pott = diffuse(ps.pott, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
-    qv = diffuse(ps.qv, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
-    qc = diffuse(ps.qc, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
-
-    from ..kernels.packing import p_south, p_west
-    dz_c_u = 0.5 * (p_west(dz_c) + dz_c)
-    dz_vb_u = 0.5 * (p_west(dz_vb) + dz_vb)
-    rvb_u = 0.5 * (p_west(rho_vb) + rho_vb)
-    rc_u = 0.5 * (p_west(rho_c) + rho_c)
-    u = diffuse(ps.u, p.diff_coef_momentum, dz_c_u, dz_vb_u, rvb_u, rc_u)
-
-    dz_c_v = 0.5 * (p_south(dz_c) + dz_c)
-    dz_vb_v = 0.5 * (p_south(dz_vb) + dz_vb)
-    rvb_v = 0.5 * (p_south(rho_vb) + rho_vb)
-    rc_v = 0.5 * (p_south(rho_c) + rho_c)
-    v = diffuse(ps.v, p.diff_coef_momentum, dz_c_v, dz_vb_v, rvb_v, rc_v)
-    v = v.at[HALO].set(jnp.zeros_like(v[HALO]))
-
-    return ps.replace(u=u, v=v, pott=pott,
-                      qv=jnp.maximum(qv, 0.0), qc=jnp.maximum(qc, 0.0))
-
-
 def compute_radiation_packed(ps: PackedState, aux: PackedAux,
                              cfg: ModelConfig, nz):
     """Gray SW+LW on packed layout (mirrors physics/radiation.py; LW sweeps
-    as unrolled k loops on (NYP, 1, NXP) slices). Outputs are sanitized with
-    the validity mask so garbage in dead rows/columns cannot become NaN in
-    the cached fields."""
+    as unrolled k loops on (NYP, 1, NXP) slices)."""
     colp, pott, qv, qc = ps.colp, ps.pott, ps.qv, ps.qc
     _, pvtf, _ = packed_pressure(colp, nz, cfg.grid.ptop)
     tair = pott * pvtf
@@ -240,7 +107,12 @@ def radiation_step_packed(ps: PackedState, aux: PackedAux, cfg: ModelConfig,
                           nz) -> PackedState:
     def do(s):
         rad, sw, lw = compute_radiation_packed(s, aux, cfg, nz)
-        return s.replace(dpottdt_rad=rad, swflx_sfc=sw, lwflx_sfc=lw)
+        nyp, _, nxp = rad.shape
+        parts = [sw, lw, jnp.zeros((nyp, K2 - 2, nxp), rad.dtype), rad]
+        tail = radf_k(nz) - K2 - nz
+        if tail:
+            parts.append(jnp.zeros((nyp, tail, nxp), rad.dtype))
+        return s.replace(radf=jnp.concatenate(parts, axis=1))
 
     every = max(cfg.physics.rad_every_steps, 1)
     return jax.lax.cond(ps.step % every == 0, do, lambda s: s, ps)
