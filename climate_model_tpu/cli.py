@@ -65,7 +65,6 @@ def cmd_run(args) -> int:
     from .io.checkpoint import load_checkpoint, save_checkpoint
     from .io.metrics import MetricsLogger, diagnostics
     from .io.netcdf import NCWriter
-    from .model import make_step_fn
 
     cfg = build_config(args)
     if getattr(args, "multihost", False):
@@ -97,18 +96,24 @@ def cmd_run(args) -> int:
     if n_mesh > 1:
         from .dist.mesh import make_mesh
         from .dist.sharding import shard_inputs
-        if cfg.backend == "pallas":
-            print("note: pallas backend does not yet compose with the "
-                  "device mesh; falling back to jnp operators")
+        if cfg.backend == "pallas" and sh.mode != "shard_map":
+            # GSPMD cannot auto-partition a pallas_call; the fused kernels
+            # compose with the mesh via the explicit shard_map halo path.
+            print("note: pallas backend needs sharding mode 'shard_map' on "
+                  "a device mesh; falling back to jnp operators")
             cfg = cfg.replace(backend="jnp")
         mesh = make_mesh(cfg)
         state, grid, forcing = shard_inputs(mesh, state, grid, forcing)
 
-    step = make_step_fn(cfg)
-
     if mesh is not None and sh.mode == "shard_map":
-        from .dist.halo import make_sharded_step_fn
-        sharded_run = make_sharded_step_fn(cfg, mesh, grid, n_steps=chunk)
+        if cfg.backend == "pallas":
+            from .dist.packed_halo import make_packed_sharded_runner
+            sharded_run = make_packed_sharded_runner(cfg, mesh, grid,
+                                                     n_steps=chunk)
+        else:
+            from .dist.halo import make_sharded_step_fn
+            sharded_run = make_sharded_step_fn(cfg, mesh, grid,
+                                               n_steps=chunk)
 
         @jax.jit
         def run_chunk(s):

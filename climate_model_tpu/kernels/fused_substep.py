@@ -235,7 +235,11 @@ def _cumsum_k(x):
     return x
 
 
-_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "56"))
+# Stream-buffer budget: Mosaic's compute temporaries cost ~1.6 MB per tile
+# row at 1 deg on top of the stream buffers (measured from scoped-VMEM OOM
+# reports), so leave them the lion's share of the vmem limit. 40 MB picks
+# bj=24 at 1 deg (~88 MB total scoped demand vs the 100 MB limit).
+_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "40"))
 _VMEM_LIMIT_MB = int(os.environ.get("CLIMATE_TPU_VMEM_LIMIT_MB", "100"))
 
 
@@ -275,7 +279,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               ptop: float, with_rad: bool,
                               diff_uv: float = 0.0, diff_pott: float = 0.0,
                               diff_moist: float = 0.0, dtype=jnp.float32,
-                              interpret: bool = False, phys: tuple = None):
+                              interpret: bool = False, phys: tuple = None,
+                              wrap_lon: bool = True,
+                              wall_mask: bool = False):
     """Fused substep on PACKED supertensors. Returns
 
         ``f(prog_eval[, prog_base][, radf], aux2, geo) -> prog_out``
@@ -289,7 +295,16 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     hashable tuple ``(with_surface, with_turb, with_mic, drag_coef,
     soil_heat_capacity, ocean_heat_capacity, qc_autoconv_time,
     qc_autoconv_threshold, diff_coef_scalar, diff_coef_momentum)``. Without
-    it, tsurf/rain pass through eval -> out unchanged."""
+    it, tsurf/rain pass through eval -> out unchanged.
+
+    SHARDED MODE (dist/packed_halo.py): ``wrap_lon=False`` stops the kernel
+    wrapping its output ghost columns periodically (a lon shard's east/west
+    ghosts belong to its ring neighbors and are refreshed by ppermute
+    between substeps; the locally-computed ghost values are kept — the
+    innermost one is valid, which is what the physics epilogue's distance-1
+    reads need). ``wall_mask=True`` takes the v polar-wall mask from AUX2
+    slot 4 (per-shard data: the wall lives only on edge shards) instead of
+    comparing local row indices against [0, ny)."""
     if nz < 2:
         raise ValueError("fused kernel requires nz >= 2")
     with_phys = phys is not None
@@ -480,7 +495,11 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             out_descr(i - 2, oslot).wait()
 
         def fix_ghost_cols(new):
-            """Maintain the periodic wrap columns of an output tile."""
+            """Maintain the periodic wrap columns of an output tile (sharded
+            lon: keep the locally-computed ghost columns; ppermute refreshes
+            them between substeps)."""
+            if not wrap_lon:
+                return new
             west = new[..., GX + nx - GX:GX + nx]           # logical nx-2..nx-1
             east = new[..., GX:2 * GX]                      # logical 0..1
             return jnp.concatenate(
@@ -580,11 +599,17 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         # v walls: global row 0 stays zero, and any slice rows beyond the
         # domain (the north wall face and ghost rows, read by the physics
         # epilogue's surface-wind average) are zero too. Global row of upd
-        # slice index r is i*bj + r - ctr0.
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0) \
-            + i * bj - ctr0
-        v_wall = jnp.logical_or(row_ids <= 0, row_ids >= ny)
-        v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+        # slice index r is i*bj + r - ctr0. In sharded mode the wall mask is
+        # per-shard data (AUX2 slot 4: 1 on interior v rows, 0 on walls).
+        if wall_mask:
+            vmask = upd(A2[:, 4:5])                         # (nu, 1, nxp)
+            apply_wall = lambda vv: vv * vmask
+        else:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (nu, 1, 1), 0) \
+                + i * bj - ctr0
+            v_wall = jnp.logical_or(row_ids <= 0, row_ids >= ny)
+            apply_wall = lambda vv: jnp.where(v_wall, jnp.zeros_like(vv), vv)
+        v2 = apply_wall(v2)
 
         if not with_phys:
             store("u", u2)
@@ -673,7 +698,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 m_v = 0.5 * (row_shift_s(dp_sfc) + dp_sfc) / c.G
                 u2 = add_bottom(u2, dt * 0.5 * (_w(taux) + taux) / m_u)
                 v2 = add_bottom(v2, dt * 0.5 * (row_shift_s(tauy) + tauy) / m_v)
-                v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+                v2 = apply_wall(v2)
 
             if w_trb:
                 # ---- turbulence: vertical K-diffusion ----
@@ -717,7 +742,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 rvb_v = 0.5 * (row_shift_s(rho_vb) + rho_vb)
                 rc_v = 0.5 * (row_shift_s(rho_cn) + rho_cn)
                 v2 = diffuse(v2, k_mom, dz_c_v, dz_vb_v, rvb_v, rc_v)
-                v2 = jnp.where(v_wall, jnp.zeros_like(v2), v2)
+                v2 = apply_wall(v2)
 
             if w_mic:
                 # ---- microphysics: saturation adjustment + autoconversion ----

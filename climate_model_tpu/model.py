@@ -59,6 +59,19 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
     return step
 
 
+def phys_epilogue_tuple(cfg: ModelConfig):
+    """Static physics-epilogue parameters for the fused corrector kernel
+    (kernels/fused_substep.py ``phys=``), or None if no split physics is on."""
+    phys = cfg.physics
+    if not (phys.surface or phys.turbulence or phys.microphysics):
+        return None
+    return (phys.surface, phys.turbulence, phys.microphysics,
+            phys.drag_coef, phys.soil_heat_capacity,
+            phys.ocean_heat_capacity, phys.qc_autoconv_time,
+            phys.qc_autoconv_threshold, phys.diff_coef_scalar,
+            phys.diff_coef_momentum)
+
+
 def make_packed_step_fn(cfg: ModelConfig, bj: int):
     """Full model step on the PACKED state layout (kernels/packing.py):
     fused Pallas dycore substeps chain in packed space, and the fast physics
@@ -73,14 +86,7 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     grid_np = make_grid(gc, num, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
-    any_split = phys.surface or phys.turbulence or phys.microphysics
-    phys_tuple = None
-    if any_split:
-        phys_tuple = (phys.surface, phys.turbulence, phys.microphysics,
-                      phys.drag_coef, phys.soil_heat_capacity,
-                      phys.ocean_heat_capacity, phys.qc_autoconv_time,
-                      phys.qc_autoconv_threshold, phys.diff_coef_scalar,
-                      phys.diff_coef_momentum)
+    phys_tuple = phys_epilogue_tuple(cfg)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               diff_uv=num.diff_uv, diff_pott=num.diff_pott,

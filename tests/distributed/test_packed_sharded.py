@@ -1,0 +1,57 @@
+"""Packed fused-kernel path x shard_map: sharded == unsharded.
+
+The fused Pallas substep kernels compose with the ('lat','lon') mesh via
+shard-local packed supertensors + ppermute ghost refresh
+(dist/packed_halo.py). The sharded run must reproduce the single-device
+packed run (which is itself oracle-tested via the jnp operators).
+
+Tolerance note: equality is ~1e-9 (fp64, few steps), not bitwise — tile/
+shard seams differ in second-order surface-drag terms through the kernel's
+halo-window clamp (documented in dist/packed_halo.py); far below fp32
+roundoff on the production path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from climate_model_tpu.core.config import GridConfig, ModelConfig, PhysicsConfig
+from climate_model_tpu.core.init import initialize
+from climate_model_tpu.dist.mesh import make_mesh
+from climate_model_tpu.dist.packed_halo import make_packed_sharded_runner
+from climate_model_tpu.dist.sharding import shard_inputs
+from climate_model_tpu.model import make_chunk_runner
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+N_STEPS = 4
+FIELDS = ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain",
+          "dpottdt_rad", "swflx_sfc", "lwflx_sfc")
+
+
+def _cfg(physics=True):
+    phys = PhysicsConfig(microphysics=physics, radiation=physics,
+                         surface=physics, turbulence=physics,
+                         rad_every_steps=2)
+    return ModelConfig(grid=GridConfig(nx=32, ny=16, nz=8), physics=phys,
+                       dtype="float64", backend="pallas")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2), (4, 2)])
+@pytest.mark.parametrize("physics", [False, True])
+def test_packed_sharded_matches_single_device(mesh_shape, physics):
+    cfg = _cfg(physics)
+    state, forcing, grid = initialize(cfg)
+    ref = jax.block_until_ready(
+        make_chunk_runner(cfg, N_STEPS)(state, grid, forcing))
+
+    mesh = make_mesh(mesh_lat=mesh_shape[0], mesh_lon=mesh_shape[1])
+    run = make_packed_sharded_runner(cfg, mesh, grid, n_steps=N_STEPS)
+    s, g, f = shard_inputs(mesh, state, grid, forcing)
+    out = jax.block_until_ready(run(s, g, f))
+    for name in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-7, atol=1e-8, err_msg=f"{name} mesh={mesh_shape}")
+    assert int(out.step) == N_STEPS
