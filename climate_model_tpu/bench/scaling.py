@@ -44,18 +44,23 @@ def measure_scaling(cfg: ModelConfig, steps: int = 10,
     n_dev = cfg.sharding.mesh_lat * cfg.sharding.mesh_lon
 
     # single device
+    from ..model import make_chunk_runner
     cfg1 = cfg.replace(sharding=cfg.sharding.__class__(mesh_lat=1, mesh_lon=1))
     state, forcing, grid = initialize(cfg1)
-    step = make_step_fn(cfg1)
-    run1 = jax.jit(lambda s, g, f: run_scan(step, s, g, f, steps))
+    run1 = jax.jit(make_chunk_runner(cfg1, steps))
     t1 = _time_run(run1, state, grid, forcing, steps=steps)
 
-    # full mesh
-    cfgn = cfg.replace(backend="jnp")
+    # full mesh (pallas: fused kernels + ppermute ghost refresh; jnp:
+    # shift-level ppermute halos — both inside one shard_map region)
+    use_pallas = cfg.backend == "pallas" and mode == "shard_map"
+    cfgn = cfg if use_pallas else cfg.replace(backend="jnp")
     state, forcing, grid = initialize(cfgn)
     mesh = make_mesh(cfgn)
     s, g, f = shard_inputs(mesh, state, grid, forcing)
-    if mode == "shard_map":
+    if use_pallas:
+        from ..dist.packed_halo import make_packed_sharded_runner
+        runn = make_packed_sharded_runner(cfgn, mesh, grid, n_steps=steps)
+    elif mode == "shard_map":
         runn = make_sharded_step_fn(cfgn, mesh, grid, n_steps=steps)
     else:
         stepn = make_step_fn(cfgn)
