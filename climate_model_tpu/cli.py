@@ -53,6 +53,17 @@ def build_config(args) -> "ModelConfig":
         cfg = cfg.replace(sim_days=args.days)
     if getattr(args, "backend_override", None):
         cfg = cfg.replace(backend=args.backend_override)
+    if getattr(args, "mesh_lat", None) or getattr(args, "mesh_lon", None):
+        sh = cfg.sharding
+        cfg = cfg.replace(sharding=sh.__class__(
+            mesh_lat=args.mesh_lat or sh.mesh_lat,
+            mesh_lon=args.mesh_lon or sh.mesh_lon,
+            mode=getattr(args, "sharding_mode", None) or sh.mode))
+    elif getattr(args, "sharding_mode", None):
+        cfg = cfg.replace(
+            sharding=cfg.sharding.__class__(
+                mesh_lat=cfg.sharding.mesh_lat,
+                mesh_lon=cfg.sharding.mesh_lon, mode=args.sharding_mode))
     return cfg
 
 
@@ -217,6 +228,13 @@ def main(argv=None) -> int:
     pr.add_argument("--restart-from", default=None)
     pr.add_argument("--backend", dest="backend_override", default=None,
                     choices=["jnp", "pallas"])
+    pr.add_argument("--mesh-lat", type=int, default=0,
+                    help="device-mesh latitude extent (domain decomposition)")
+    pr.add_argument("--mesh-lon", type=int, default=0,
+                    help="device-mesh longitude extent")
+    pr.add_argument("--sharding-mode", default=None,
+                    choices=["auto", "shard_map"],
+                    help="GSPMD auto-partitioning vs explicit shard_map halos")
     pr.add_argument("--multihost", action="store_true",
                     help="initialize the jax multi-host (DCN) runtime")
     pr.set_defaults(fn=cmd_run)
