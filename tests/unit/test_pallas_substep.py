@@ -159,3 +159,28 @@ def test_packed_full_model_matches_std(monkeypatch):
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=1e-9, atol=1e-10, err_msg=name)
     assert int(out.step) == 4
+
+
+def test_packed_scan_chunk_boundaries(monkeypatch):
+    """Two 2-step packed-scan chunks (pack/unpack round-trip between them)
+    equal one 4-step chunk: the chunk boundary is bit-transparent."""
+    monkeypatch.setenv("CLIMATE_TPU_PACKED_SCAN", "1")
+    from climate_model_tpu.core.config import PhysicsConfig
+    from climate_model_tpu.core.init import initialize
+    from climate_model_tpu.model import make_chunk_runner
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=32, ny=16, nz=8), dtype="float64",
+        backend="pallas",
+        physics=PhysicsConfig(microphysics=True, radiation=True,
+                              surface=True, turbulence=True,
+                              rad_every_steps=2))
+    state, forcing, grid = initialize(cfg)
+    run2 = make_chunk_runner(cfg, 2)
+    run4 = make_chunk_runner(cfg, 4)
+    a = run2(run2(state, grid, forcing), grid, forcing)
+    b = run4(state, grid, forcing)
+    for name in ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name)
