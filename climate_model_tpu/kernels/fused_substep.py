@@ -237,10 +237,12 @@ def _cumsum_k(x):
 
 # Stream-buffer budget: Mosaic's compute temporaries cost ~1.6 MB per tile
 # row at 1 deg on top of the stream buffers (measured from scoped-VMEM OOM
-# reports), so leave them the lion's share of the vmem limit. 40 MB picks
-# bj=24 at 1 deg (~88 MB total scoped demand vs the 100 MB limit).
-_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "40"))
-_VMEM_LIMIT_MB = int(os.environ.get("CLIMATE_TPU_VMEM_LIMIT_MB", "100"))
+# reports), so leave them the lion's share of the vmem limit. 50 MB picks
+# bj=30 at 1 deg (~105 MB total scoped demand vs the 110 MB limit — both
+# measured to compile and run on v5e; the AOT scoped-vmem check fails fast
+# if a new config overshoots, so lower these two knobs together if it does).
+_VMEM_BUDGET_MB = int(os.environ.get("CLIMATE_TPU_VMEM_MB", "50"))
+_VMEM_LIMIT_MB = int(os.environ.get("CLIMATE_TPU_VMEM_LIMIT_MB", "110"))
 
 
 def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
@@ -253,7 +255,7 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
         vmem_budget = _VMEM_BUDGET_MB << 20
     nxp = lane_pad(nx)
     kp, kr = prog_k(nz), radf_k(nz)
-    for bj in (36, 32, 24, 20, 16, 12, 8, 6, 4, 3, 2):
+    for bj in (36, 32, 30, 24, 20, 16, 12, 8, 6, 4, 3, 2):
         nt = -(-ny // bj)
         if nt < 2:
             continue
@@ -261,9 +263,9 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
         nu = bj + 2 if with_phys else bj
         rows = 2 * w * kp                                # eval supertensor
         if not same_base:
-            rows += w * K2 + nu * (kp - K2)              # base head + body
+            rows += 2 * w * K2 + nu * (kp - K2)          # base head + body
         if with_rad or with_phys:
-            rows += w * (kr if with_rad else K2)         # radf
+            rows += 2 * w * (kr if with_rad else K2)     # radf
         rows += 2 * w * K2                               # aux2
         rows += 2 * bj * kp                              # output
         gmax = max(HALO, nt * bj - ny + HALO_N)
@@ -329,11 +331,15 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     streams = [("eval", 0, 0, kp, "w", 2)]
     ai = 1
     if not same_base:
-        streams += [("base2d", ai, 0, K2, "w", 1),
+        # 2-D head double-buffered (prefetched a tile ahead: it is consumed
+        # at the top of the tile); the big 3-D body stays single-buffered
+        # with a deferred wait (consumed only at the proceed stage, so its
+        # same-tile DMA hides under the tendency compute at half the VMEM)
+        streams += [("base2d", ai, 0, K2, "w", 2),
                     ("base3d", ai, K2, kp - K2, "nu", 1)]
         ai += 1
     if use_radf:
-        streams += [("radf", ai, 0, kr if with_rad else K2, "w", 1)]
+        streams += [("radf", ai, 0, kr if with_rad else K2, "w", 2)]
         ai += 1
     streams += [("aux2", ai, 0, K2, "w", 2)]
     n_args = ai + 1
