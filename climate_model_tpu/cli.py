@@ -53,17 +53,19 @@ def build_config(args) -> "ModelConfig":
         cfg = cfg.replace(sim_days=args.days)
     if getattr(args, "backend_override", None):
         cfg = cfg.replace(backend=args.backend_override)
+    import dataclasses as _dc
     if getattr(args, "mesh_lat", None) or getattr(args, "mesh_lon", None):
         sh = cfg.sharding
-        cfg = cfg.replace(sharding=sh.__class__(
-            mesh_lat=args.mesh_lat or sh.mesh_lat,
+        cfg = cfg.replace(sharding=_dc.replace(
+            sh, mesh_lat=args.mesh_lat or sh.mesh_lat,
             mesh_lon=args.mesh_lon or sh.mesh_lon,
             mode=getattr(args, "sharding_mode", None) or sh.mode))
     elif getattr(args, "sharding_mode", None):
-        cfg = cfg.replace(
-            sharding=cfg.sharding.__class__(
-                mesh_lat=cfg.sharding.mesh_lat,
-                mesh_lon=cfg.sharding.mesh_lon, mode=args.sharding_mode))
+        cfg = cfg.replace(sharding=_dc.replace(
+            cfg.sharding, mode=args.sharding_mode))
+    if getattr(args, "halo_overlap", None):
+        cfg = cfg.replace(sharding=_dc.replace(
+            cfg.sharding, halo_overlap=True))
     return cfg
 
 
@@ -109,10 +111,14 @@ def cmd_run(args) -> int:
         from .dist.sharding import shard_inputs
         if cfg.backend == "pallas" and sh.mode != "shard_map":
             # GSPMD cannot auto-partition a pallas_call; the fused kernels
-            # compose with the mesh via the explicit shard_map halo path.
-            print("note: pallas backend needs sharding mode 'shard_map' on "
-                  "a device mesh; falling back to jnp operators")
-            cfg = cfg.replace(backend="jnp")
+            # compose with the mesh only via the explicit shard_map halo
+            # path — switch to it rather than silently benchmarking the
+            # ~3x slower jnp fallback.
+            print("note: pallas backend on a device mesh requires sharding "
+                  "mode 'shard_map'; switching mode auto -> shard_map")
+            import dataclasses as _dc
+            cfg = cfg.replace(sharding=_dc.replace(sh, mode="shard_map"))
+            sh = cfg.sharding
         mesh = make_mesh(cfg)
         state, grid, forcing = shard_inputs(mesh, state, grid, forcing)
 
@@ -237,6 +243,9 @@ def main(argv=None) -> int:
                     help="GSPMD auto-partitioning vs explicit shard_map halos")
     pr.add_argument("--multihost", action="store_true",
                     help="initialize the jax multi-host (DCN) runtime")
+    pr.add_argument("--halo-overlap", action="store_true",
+                    help="overlap halo exchange with interior compute "
+                         "(shard_map mode)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
