@@ -196,7 +196,11 @@ def cmd_profile(args) -> int:
 def cmd_bench(args) -> int:
     _enable_cache()
     import json
-    if args.scaling:
+    if args.micro:
+        from .bench.micro import micro_bench
+        result = micro_bench(baseline=args.baseline, iters=args.steps,
+                             dtype=args.dtype or "float32")
+    elif args.scaling:
         from .bench.scaling import measure_scaling
         cfg = build_config(args) if args.config else None
         if cfg is None:
@@ -254,6 +258,8 @@ def main(argv=None) -> int:
     pb.add_argument("--dtype", default=None)
     pb.add_argument("--scaling", action="store_true",
                     help="measure 1-device vs full-mesh scaling efficiency")
+    pb.add_argument("--micro", action="store_true",
+                    help="per-kernel scan-chained micro-benchmark")
     pb.add_argument("--baseline", type=int, default=3)
     pb.add_argument("--steps", type=int, default=50)
     pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])

@@ -312,3 +312,248 @@ def step_moist(state, dt, grid, hsurf, **mp_kw):
     (mirrors model.make_step_fn with microphysics only)."""
     s = step_matsuno(state, dt, grid, hsurf, moisture=True)
     return microphysics_step(s, grid, hsurf, dt, **mp_kw)
+
+
+# ---------------------------------------------------------------------------
+# Physics parameterization oracles (SURVEY.md §4 per-kernel golden tests;
+# reference ``radiation/``, ``soil_model.py``, ``turbulence.py``). Written as
+# explicit per-column / per-level loops — a deliberately different idiom from
+# physics/{radiation,surface,turbulence}.py so a shared transcription bug in
+# the production code cannot cancel. The only shared inputs are the physical
+# constants (the spec).
+# ---------------------------------------------------------------------------
+
+# Gray-gas coefficients (spec values, physics/radiation.py header).
+_K_SW_QV, _K_SW_DRY = 0.002, 5e-5
+_K_LW_QV, _K_LW_DRY, _K_LW_QC = 0.15, 1.5e-3, 20.0
+_DAY0 = 80.0
+
+
+def _qsat_np(tair, pair):
+    """Magnus saturation mixing ratio, transcribed independently."""
+    t_c = tair - c.T_ZERO_C
+    esat = c.MAGNUS_E0 * np.exp(c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
+    return c.EPS_V * esat / max(pair - (1.0 - c.EPS_V) * esat, 1.0)
+
+
+def radiation_np(state, grid, forcing, t, solar_constant=1365.0):
+    """Gray SW + LW column radiation, one explicit loop per column.
+
+    Returns (dpottdt_rad, swflx_sfc, lwflx_sfc) with the conventions of
+    physics/radiation.py (which mirrors the reference ``radiation/`` package:
+    SW Beer-Lambert with zenith-angle slant path + albedo-reflected upward
+    beam at diffuse path factor 1.66; LW emissivity sweeps)."""
+    nz, ny, nx = state["pott"].shape
+    colp, pott, qv, qc = (state["colp"], state["pott"], state["qv"],
+                          state["qc"])
+    d = diagnose(colp, pott, forcing["hsurf"], grid)
+    pvtf, pvb = d["pvtf"], d["pvb"]
+
+    doy = _DAY0 + t / c.SECONDS_PER_DAY
+    decl = np.deg2rad(23.44) * np.sin(2.0 * np.pi * (doy - 80.0) / 365.25)
+    frac_day = (t / c.SECONDS_PER_DAY) % 1.0
+
+    dpottdt = np.zeros((nz, ny, nx))
+    sw_sfc = np.zeros((ny, nx))
+    lw_sfc = np.zeros((ny, nx))
+    for j in range(ny):
+        lat = grid.lat[j]
+        for i in range(nx):
+            lon = grid.lon[i]
+            hour_angle = 2.0 * np.pi * frac_day + lon - np.pi
+            mu = np.sin(lat) * np.sin(decl) \
+                + np.cos(lat) * np.cos(decl) * np.cos(hour_angle)
+            mu = max(mu, 0.0)
+            inv_mu = 1.0 / max(mu, 0.05)
+
+            mass = np.empty(nz)
+            tau_sw = np.empty(nz)
+            for k in range(nz):
+                mass[k] = colp[j, i] * grid.dsigma[k] / c.G
+                tau_sw[k] = (_K_SW_QV * qv[k, j, i] + _K_SW_DRY) * mass[k]
+
+            # SW downward beam border fluxes 0..nz
+            f_dn = np.empty(nz + 1)
+            f_dn[0] = solar_constant * mu
+            for k in range(nz):
+                f_dn[k + 1] = f_dn[k] * np.exp(-tau_sw[k] * inv_mu)
+            sw_sfc[j, i] = (1.0 - forcing["albedo"][j, i]) * f_dn[nz]
+            # reflected upward beam, diffuse path
+            f_up = np.empty(nz + 1)
+            f_up[nz] = forcing["albedo"][j, i] * f_dn[nz]
+            for k in range(nz - 1, -1, -1):
+                f_up[k] = f_up[k + 1] * np.exp(-tau_sw[k] * 1.66)
+
+            # LW emissivity sweeps
+            eps = np.empty(nz)
+            b = np.empty(nz)
+            for k in range(nz):
+                eps[k] = 1.0 - np.exp(
+                    -1.66 * (_K_LW_QV * qv[k, j, i] + _K_LW_DRY
+                             + _K_LW_QC * qc[k, j, i]) * mass[k])
+                b[k] = c.SIGMA_SB * (pott[k, j, i] * pvtf[k, j, i]) ** 4
+            dn = np.zeros(nz + 1)
+            for k in range(nz):
+                dn[k + 1] = dn[k] * (1.0 - eps[k]) + eps[k] * b[k]
+            b_sfc = c.SIGMA_SB * state["tsurf"][j, i] ** 4
+            up = np.empty(nz + 1)
+            up[nz] = b_sfc
+            for k in range(nz - 1, -1, -1):
+                up[k] = up[k + 1] * (1.0 - eps[k]) + eps[k] * b[k]
+            lw_sfc[j, i] = dn[nz] - b_sfc
+
+            for k in range(nz):
+                dp = colp[j, i] * grid.dsigma[k]
+                absorbed = (f_dn[k] - f_dn[k + 1]) + (f_up[k + 1] - f_up[k])
+                net_gain = (up[k + 1] - dn[k + 1]) - (up[k] - dn[k])
+                dtdt = (absorbed + net_gain) * c.G / (c.C_P * dp)
+                dpottdt[k, j, i] = dtdt / pvtf[k, j, i]
+    return dpottdt, sw_sfc, lw_sfc
+
+
+def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
+               soil_heat_capacity=2.0e6, ocean_heat_capacity=2.0e8):
+    """Slab surface energy budget + bulk fluxes deposited in the lowest
+    layer (reference ``soil_model.py``/``srfc_main.py``), per-point loops."""
+    nz, ny, nx = state["pott"].shape
+    colp = state["colp"]
+    d = diagnose(colp, state["pott"], forcing["hsurf"], grid)
+    new = dict(state)
+    pott = state["pott"].copy()
+    qv = state["qv"].copy()
+    u = state["u"].copy()
+    v = state["v"].copy()
+    tsurf = state["tsurf"].copy()
+
+    taux = np.zeros((ny, nx))
+    tauy = np.zeros((ny, nx))
+    shflx = np.zeros((ny, nx))
+    evap = np.zeros((ny, nx))
+    for j in range(ny):
+        for i in range(nx):
+            pvtf_b = d["pvtf"][nz - 1, j, i]
+            t_air = pott[nz - 1, j, i] * pvtf_b
+            p_air = 0.5 * (d["pvb"][nz - 1, j, i] + d["pvb"][nz, j, i])
+            rho = p_air / (c.R_D * t_air)
+            u_c = 0.5 * (u[nz - 1, j, i] + u[nz - 1, j, (i + 1) % nx])
+            v_n = v[nz - 1, j + 1, i] if j + 1 < ny else 0.0
+            v_c = 0.5 * (v[nz - 1, j, i] + v_n)
+            wind = np.sqrt(u_c * u_c + v_c * v_c + 1.0)
+            shflx[j, i] = rho * c.C_P * drag_coef * wind \
+                * (tsurf[j, i] - t_air)
+            qsat_s = _qsat_np(tsurf[j, i], d["pvb"][nz, j, i])
+            evap[j, i] = rho * drag_coef * wind \
+                * forcing["evap_eff"][j, i] \
+                * max(qsat_s - qv[nz - 1, j, i], 0.0)
+            taux[j, i] = -rho * drag_coef * wind * u_c
+            tauy[j, i] = -rho * drag_coef * wind * v_c
+
+            cap = soil_heat_capacity if forcing["land_mask"][j, i] > 0.5 \
+                else ocean_heat_capacity
+            net = state["swflx_sfc"][j, i] + state["lwflx_sfc"][j, i] \
+                - shflx[j, i] - c.L_V * evap[j, i]
+            tsurf[j, i] = tsurf[j, i] + dt * net / cap
+
+    for j in range(ny):
+        for i in range(nx):
+            m_sfc = colp[j, i] * grid.dsigma[nz - 1] / c.G
+            pott[nz - 1, j, i] += dt * shflx[j, i] / (c.C_P * m_sfc) \
+                / d["pvtf"][nz - 1, j, i]
+            qv[nz - 1, j, i] += dt * evap[j, i] / m_sfc
+            dp_w = colp[j, (i - 1) % nx] * grid.dsigma[nz - 1]
+            dp_c = colp[j, i] * grid.dsigma[nz - 1]
+            m_u = 0.5 * (dp_w + dp_c) / c.G
+            u[nz - 1, j, i] += dt * 0.5 * (taux[j, (i - 1) % nx]
+                                           + taux[j, i]) / m_u
+            if j >= 1:
+                dp_s = colp[j - 1, i] * grid.dsigma[nz - 1]
+                m_v = 0.5 * (dp_s + dp_c) / c.G
+                v[nz - 1, j, i] += dt * 0.5 * (tauy[j - 1, i]
+                                               + tauy[j, i]) / m_v
+    v[:, 0, :] = 0.0
+    new.update(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v)
+    return new
+
+
+def turbulence_np(state, grid, forcing, dt, k_scalar=1.0, k_momentum=1.0):
+    """Vertical K-diffusion of all prognostics in reconstructed height
+    coordinates (reference ``turbulence.py``), one explicit column loop."""
+    nz, ny, nx = state["pott"].shape
+    colp = state["colp"]
+    d = diagnose(colp, state["pott"], forcing["hsurf"], grid)
+    new = dict(state)
+    out = {f: state[f].copy() for f in ("pott", "qv", "qc", "u", "v")}
+
+    def col_diffuse(x_col, kco, dzc, dzvb, rvb, rc):
+        flux = np.zeros(nz + 1)           # borders; 0 at top and bottom
+        for ks in range(1, nz):
+            grad = (x_col[ks - 1] - x_col[ks]) / dzvb[ks - 1]
+            flux[ks] = -kco * rvb[ks - 1] * grad
+        r = x_col.copy()
+        for k in range(nz):
+            r[k] += dt * (flux[k + 1] - flux[k]) / (rc[k] * dzc[k])
+        return r
+
+    # per-column geometry at cell centers
+    geom = {}
+    for j in range(ny):
+        for i in range(nx):
+            z_c = d["phi"][:, j, i] / c.G
+            z_vb = d["phivb"][:, j, i] / c.G
+            dz_c = z_vb[:-1] - z_vb[1:]
+            dz_vb = z_c[:-1] - z_c[1:]
+            tair = state["pott"][:, j, i] * d["pvtf"][:, j, i]
+            rho_vb = np.empty(nz - 1)
+            for ks in range(1, nz):
+                tair_b = 0.5 * (tair[ks - 1] + tair[ks])
+                rho_vb[ks - 1] = d["pvb"][ks, j, i] / (c.R_D * tair_b)
+            rho_c = np.empty(nz)
+            for k in range(nz):
+                rho_c[k] = (d["pvb"][k + 1, j, i] - d["pvb"][k, j, i]) \
+                    / (c.G * dz_c[k])
+            geom[(j, i)] = (dz_c, dz_vb, rho_vb, rho_c)
+            for f in ("pott", "qv", "qc"):
+                out[f][:, j, i] = col_diffuse(
+                    state[f][:, j, i], k_scalar, dz_c, dz_vb, rho_vb, rho_c)
+
+    # staggered-point geometry: averages of the neighboring centers
+    for j in range(ny):
+        for i in range(nx):
+            gw = geom[(j, (i - 1) % nx)]
+            gc = geom[(j, i)]
+            avg = [0.5 * (a + b) for a, b in zip(gw, gc)]
+            out["u"][:, j, i] = col_diffuse(state["u"][:, j, i], k_momentum,
+                                            *avg)
+            gs = geom[(max(j - 1, 0), i)]
+            avg_v = [0.5 * (a + b) for a, b in zip(gs, gc)]
+            out["v"][:, j, i] = col_diffuse(state["v"][:, j, i], k_momentum,
+                                            *avg_v)
+    out["v"][:, 0, :] = 0.0
+    out["qv"] = np.maximum(out["qv"], 0.0)
+    out["qc"] = np.maximum(out["qc"], 0.0)
+    new.update(out)
+    return new
+
+
+def step_full_physics(state, dt, grid, forcing, cfg, t, step_idx):
+    """One full model step with every parameterization on, composed exactly
+    as model.make_step_fn: radiation cache refresh (on its interval, from
+    the PRE-dynamics state) -> Matsuno dynamics with the cached POTT source
+    -> surface -> turbulence -> microphysics."""
+    p = cfg.physics
+    if step_idx % max(p.rad_every_steps, 1) == 0:
+        rad, sw, lw = radiation_np(state, grid, forcing, t,
+                                   solar_constant=p.solar_constant)
+        state = dict(state)
+        state.update(dpottdt_rad=rad, swflx_sfc=sw, lwflx_sfc=lw)
+    s = step_matsuno(state, dt, grid, forcing["hsurf"], moisture=True,
+                     dpottdt_src=state["dpottdt_rad"])
+    s = surface_np(s, grid, forcing, dt, drag_coef=p.drag_coef,
+                   soil_heat_capacity=p.soil_heat_capacity,
+                   ocean_heat_capacity=p.ocean_heat_capacity)
+    s = turbulence_np(s, grid, forcing, dt, k_scalar=p.diff_coef_scalar,
+                      k_momentum=p.diff_coef_momentum)
+    s = microphysics_step(s, grid, forcing["hsurf"], dt,
+                          qc_autoconv_time=p.qc_autoconv_time,
+                          qc_autoconv_threshold=p.qc_autoconv_threshold)
+    return s

@@ -235,6 +235,31 @@ def _cumsum_k(x):
     return x
 
 
+def _cumsum_k2(x, n: int):
+    """TWO independent inclusive prefix sums along axis 1 in one fused
+    doubling scan: ``x`` is (rows, 2n, lanes) holding two n-long segments.
+    The shifted operand is built as a segment-respecting 4-part concat, so
+    each step is still one concat + one add — same adds per element as two
+    separate ``_cumsum_k`` calls, half the op dispatches."""
+    shift = 1
+    while shift < n:
+        z = jnp.zeros_like(x[:, :shift])
+        x = x + jnp.concatenate(
+            [z, x[:, :n - shift], z, x[:, n:2 * n - shift]], axis=1)
+        shift *= 2
+    return x
+
+
+def _kdn(x):
+    """Shift +1 along k (x[k] <- x[k-1]; k=0 keeps itself — callers mask)."""
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+
+
+def _kup0(x):
+    """Shift -1 along k with zero fill (x[k] <- x[k+1]; last k <- 0)."""
+    return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+
+
 # Stream-buffer budget: Mosaic's compute temporaries cost ~1.6 MB per tile
 # row at 1 deg on top of the stream buffers (measured from scoped-VMEM OOM
 # reports), so leave them the lion's share of the vmem limit. 50 MB picks
@@ -422,16 +447,14 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         qc = E[:, K2 + 4 * nz:K2 + 5 * nz]
         if same_base:
             cb = ce
-            ub, vb, ptb, qvb, qcb = u, v, pt, qv, qc
+            ub, vb = u, v
+            B = None
         else:
             cb = sbuf["base2d"][:, 0:1]                     # (w, 1, nxp)
             # base body buffer holds the k-window [K2, kp) at the nu
             # update rows: local k offsets drop the K2 head
             B = sbuf["base3d"]
             ub, vb = B[:, 0:nz], B[:, nz:2 * nz]
-            ptb = B[:, 2 * nz:3 * nz]
-            qvb = B[:, 3 * nz:4 * nz]
-            qcb = B[:, 4 * nz:5 * nz]
         A2 = sbuf["aux2"]
         hs = A2[:, 0:1]
         rad = sbuf["radf"][:, K2:K2 + nz] if with_rad else None
@@ -462,21 +485,25 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             / ((1.0 + c.KAPPA) * (pvb3[:, 1:] - pvb3[:, :-1]))
         # hydrostatic suffix sum: phivb[k+1] = g*hs + sum_{k'>k} jump[k']
         jump3 = c.C_P * pt * (pvtfvb3[:, 1:] - pvtfvb3[:, :-1])
-        incl = _cumsum_k(jump3)                              # sum_{k'<=k}
-        total_j = incl[:, nz - 1:nz]                         # full-column sum
-        suffix_excl = total_j - incl                         # sum_{k'>k}
-        phi3 = c.G * hs + suffix_excl \
-            + c.C_P * pt * (pvtfvb3[:, 1:] - pvtf3)
 
-        # ---- continuity ----
+        # ---- continuity (flux divergence first: its prefix k-scan fuses
+        # with the hydrostatic scan into ONE two-segment doubling scan) ----
         colp_u = 0.5 * (_w(ce) + ce)
         colp_v = 0.5 * (_s(ce) + ce)
         uflx = u * colp_u * dy
         vflx = v * colp_v * dxs
         div = (_e(uflx) - uflx + _n(vflx) - vflx) / area
-        # WWIND interior borders 1..nz-1 via prefix cumsum over k; the
+
+        both = _cumsum_k2(jnp.concatenate([jump3, div * dsig], axis=1), nz)
+        incl = both[:, :nz]                                  # sum_{k'<=k}
+        csum = both[:, nz:2 * nz]
+        total_j = incl[:, nz - 1:nz]                         # full-column sum
+        suffix_excl = total_j - incl                         # sum_{k'>k}
+        phi3 = c.G * hs + suffix_excl \
+            + c.C_P * pt * (pvtfvb3[:, 1:] - pvtf3)
+
+        # WWIND interior borders 1..nz-1 via the prefix cumsum over k; the
         # column total (= -dCOLP/dt) is the cumsum's last element
-        csum = _cumsum_k(div * dsig)                         # (w, nz, nxp)
         dcolpdt = -csum[:, nz - 1:nz]                        # (w, 1, nxp)
         cn = cb + dt * dcolpdt
         w3 = -(csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) / cn  # (w, nz-1, nxp)
@@ -519,32 +546,50 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             outs_new[name] = fix_ghost_cols(new_center)
             obuf[oslot, :, k0:k0 + nk] = outs_new[name]
 
-        # ---- scalar tendencies + proceed (vectorized over k) ----
+        # ---- scalar tendencies + proceed: pott/qv/qc BATCHED as one
+        # (w, 3nz, nxp) advection pass. The three fields are contiguous
+        # sublane ranges of the supertensor, so the batch is a single slice;
+        # the flux factors are tiled 3x once, and every subsequent op runs
+        # at 3x sublane height = 1/3 the op dispatches of three thin passes
+        # (the per-element math and order are unchanged). ----
         zero_b = jnp.zeros_like(cn)
+        Q = E[:, K2 + 2 * nz:K2 + 5 * nz]                   # pott|qv|qc
+        uflx3 = jnp.concatenate([uflx, uflx, uflx], axis=1)
+        vflx3 = jnp.concatenate([vflx, vflx, vflx], axis=1)
+        # vertical flux factor at cell-bottom borders: wpad[0] = 0 encodes
+        # the zero top-border flux AND masks the segment-crossing garbage
+        # row that _kdn drags across field boundaries in the batch
+        wpad = jnp.concatenate([zero_b, w3], axis=1)        # (w, nz, nxp)
+        wpad3 = jnp.concatenate([wpad, wpad, wpad], axis=1)
 
-        def scalar_update(q, qb, source=None, diff=0.0, clip=False):
-            fx = uflx * 0.5 * (_w(q) + q)
-            fy = vflx * 0.5 * (_s(q) + q)
-            dqdt = -(_e(fx) - fx + _n(fy) - fy) / area
-            fz = w3 * cn * 0.5 * (q[:, :-1] + q[:, 1:])      # (w, nz-1, nxp)
-            fz_full = jnp.concatenate([zero_b, fz, zero_b], axis=1)
-            dqdt = dqdt - (fz_full[:, 1:] - fz_full[:, :-1]) / dsig
-            if source is not None:
-                dqdt = dqdt + ce * source
-            if diff:
-                lap = (_e(q) - 2.0 * q + _w(q)) / (dx * dx) \
-                    + (_n(q) - 2.0 * q + _s(q)) / (dy * dy)
-                dqdt = dqdt + diff * ce * lap
-            new = (upd_b(qb) * cb_c + dt * upd(dqdt)) / cn_c
-            if clip:
-                new = jnp.maximum(new, 0.0)
-            return new
+        fx = uflx3 * 0.5 * (_w(Q) + Q)
+        fy = vflx3 * 0.5 * (_s(Q) + Q)
+        dqdt = -(_e(fx) - fx + _n(fy) - fy) / area
+        bflx = wpad3 * cn * 0.5 * (_kdn(Q) + Q)             # border k flux
+        # _kup0 crossing a segment boundary reads the next field's zero
+        # top-border flux — exactly the zero bottom-border flux needed
+        dqdt = dqdt - (_kup0(bflx) - bflx) / dsig
+        if with_rad:
+            dqdt = jnp.concatenate(
+                [dqdt[:, :nz] + ce * rad, dqdt[:, nz:]], axis=1)
+        if diff_pott or diff_moist:
+            lap = (_e(Q) - 2.0 * Q + _w(Q)) / (dx * dx) \
+                + (_n(Q) - 2.0 * Q + _s(Q)) / (dy * dy)
+            if diff_pott == diff_moist:
+                dqdt = dqdt + diff_pott * ce * lap
+            else:
+                kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * nz, 1), 1)
+                dcoef = jnp.where(kidx < nz, diff_pott, diff_moist) \
+                    .astype(dtype)
+                dqdt = dqdt + dcoef * ce * lap
 
         if not same_base:
             wait_late()
-        pt2 = scalar_update(pt, ptb, source=rad, diff=diff_pott)
-        qv2 = scalar_update(qv, qvb, diff=diff_moist, clip=True)
-        qc2 = scalar_update(qc, qcb, diff=diff_moist, clip=True)
+        QB = Q if same_base else B[:, 2 * nz:5 * nz]
+        Qn = (upd_b(QB) * cb_c + dt * upd(dqdt)) / cn_c
+        pt2 = Qn[:, :nz]
+        qvqc = jnp.maximum(Qn[:, nz:], 0.0)
+        qv2, qc2 = qvqc[:, :nz], qvqc[:, nz:]
 
         # ---- momentum: u ----
         fxc = 0.5 * (uflx + _e(uflx)) * 0.5 * (u + _e(u))
