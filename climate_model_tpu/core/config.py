@@ -39,6 +39,8 @@ class GridConfig:
     lat1_deg: float = 80.0       # northern rigid wall
     ptop: float = 10_000.0       # pressure at model top [Pa]
     psurf: float = 101_350.0     # reference surface pressure [Pa]
+    sigma_stretch: float = 1.0   # sigma-border power-law exponent; 1 = uniform
+                                 # spacing, > 1 thins layers toward the top
 
 
 @dataclasses.dataclass(frozen=True)

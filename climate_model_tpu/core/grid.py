@@ -111,7 +111,11 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
     tan_lat = np.tan(lat)
     tan_lat_v = np.tan(lats)
 
-    sigma_vb = np.linspace(0.0, 1.0, nz + 1)
+    # Sigma borders (reference grid.py sigma arrays [C], first-class per
+    # SURVEY.md §2.1 row 3): uniform for sigma_stretch == 1, else a power-law
+    # stretch that thins layers toward the model top (exponent > 1).
+    x = np.linspace(0.0, 1.0, nz + 1)
+    sigma_vb = x ** float(getattr(cfg, "sigma_stretch", 1.0))
     sigma = 0.5 * (sigma_vb[:-1] + sigma_vb[1:])
     dsigma = np.diff(sigma_vb)
 

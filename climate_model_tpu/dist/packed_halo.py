@@ -46,7 +46,8 @@ from ..core.grid import Grid, make_grid
 from ..core.state import Forcing, State
 from ..kernels.fused_substep import (GX, HALO, HALO_N, lane_pad,
                                      make_fused_substep_packed,
-                                     pick_block_rows, row_pad)
+                                     pick_block_rows, require_uniform_sigma,
+                                     row_pad)
 from ..kernels.packing import pack_aux, pack_full, unpack_full
 from ..physics.packed import radiation_step_packed
 from .mesh import LAT, LON, validate_divisibility
@@ -105,6 +106,7 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     n_lat, n_lon = mesh.shape[LAT], mesh.shape[LON]
     ny_l, nx_l = ny // n_lat, nx // n_lon
     grid_np = make_grid(gc, num, np_mode=True)
+    require_uniform_sigma(grid_np.sigma_vb)
     dtype = jnp.dtype(cfg.dtype)
     phys_tuple = phys_epilogue_tuple(cfg)
     with_phys = phys_tuple is not None

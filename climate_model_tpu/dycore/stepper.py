@@ -97,10 +97,11 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     from ..kernels.fused_substep import (GEO_FIELDS, make_fused_substep_packed,
                                         pack_aux2, pack_geo, pack_prog,
                                         pack_radf, pick_block_rows,
-                                        unpack_prog)
+                                        require_uniform_sigma, unpack_prog)
 
     gc, num = cfg.grid, cfg.numerics
     grid_np = make_grid(gc, num, np_mode=True)
+    require_uniform_sigma(grid_np.sigma_vb)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     itemsize = jnp.dtype(cfg.dtype).itemsize
     # corrector (same_base=False) has the larger footprint; use one bj for both

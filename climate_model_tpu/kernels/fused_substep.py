@@ -107,6 +107,20 @@ def lane_pad(nx: int) -> int:
     return -(-(nx + 2 * GX) // 128) * 128
 
 
+def require_uniform_sigma(sigma_vb) -> None:
+    """The fused kernels hard-code uniform sigma spacing (``sig_b = k*dsig``
+    built on an iota — Mosaic cannot capture array constants), while
+    ``core/grid.py`` builds general ``sigma_vb``/``dsigma`` arrays. Refuse a
+    stretched grid loudly instead of silently diverging from the jnp backend;
+    stretched-sigma configs run on ``backend='jnp'`` (fully general there)."""
+    sv = np.asarray(sigma_vb, np.float64)
+    if sv.size > 1 and not np.allclose(np.diff(sv), 1.0 / (sv.size - 1),
+                                       rtol=1e-12, atol=1e-12):
+        raise NotImplementedError(
+            "backend='pallas' (fused kernels) supports uniform sigma spacing "
+            "only; run sigma_stretch != 1 grids with backend='jnp'")
+
+
 def row_pad(ny: int, bj: int) -> int:
     nt = -(-ny // bj)
     return nt * bj + HALO + HALO_N
@@ -481,10 +495,16 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             jnp.int32, (1, nz + 1, 1), 1).astype(dtype) * dsig
         pvb3 = ptop + sig_b * ce                             # (w, nz+1, nxp)
         pvtfvb3 = (pvb3 / c.P_REF) ** c.KAPPA
-        pvtf3 = (pvb3[:, 1:] * pvtfvb3[:, 1:] - pvb3[:, :-1] * pvtfvb3[:, :-1]) \
-            / ((1.0 + c.KAPPA) * (pvb3[:, 1:] - pvb3[:, :-1]))
+        # hoisted hi/lo level slices and C_P*pott (multi-consumer values:
+        # hand-CSE'd because every materialized intermediate is one VMEM
+        # round-trip, the kernel's unit of cost — see docs/STATUS.md probe)
+        pvb_hi, pvb_lo = pvb3[:, 1:], pvb3[:, :-1]
+        pvtfvb_hi, pvtfvb_lo = pvtfvb3[:, 1:], pvtfvb3[:, :-1]
+        pvtf3 = (pvb_hi * pvtfvb_hi - pvb_lo * pvtfvb_lo) \
+            / ((1.0 + c.KAPPA) * (pvb_hi - pvb_lo))
+        cppt = c.C_P * pt
         # hydrostatic suffix sum: phivb[k+1] = g*hs + sum_{k'>k} jump[k']
-        jump3 = c.C_P * pt * (pvtfvb3[:, 1:] - pvtfvb3[:, :-1])
+        jump3 = cppt * (pvtfvb_hi - pvtfvb_lo)
 
         # ---- continuity (flux divergence first: its prefix k-scan fuses
         # with the hydrostatic scan into ONE two-segment doubling scan) ----
@@ -492,21 +512,25 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         colp_v = 0.5 * (_s(ce) + ce)
         uflx = u * colp_u * dy
         vflx = v * colp_v * dxs
-        div = (_e(uflx) - uflx + _n(vflx) - vflx) / area
+        e_uflx = _e(uflx)
+        n_vflx = _n(vflx)
+        div = (e_uflx - uflx + n_vflx - vflx) / area
 
         both = _cumsum_k2(jnp.concatenate([jump3, div * dsig], axis=1), nz)
         incl = both[:, :nz]                                  # sum_{k'<=k}
         csum = both[:, nz:2 * nz]
         total_j = incl[:, nz - 1:nz]                         # full-column sum
         suffix_excl = total_j - incl                         # sum_{k'>k}
-        phi3 = c.G * hs + suffix_excl \
-            + c.C_P * pt * (pvtfvb3[:, 1:] - pvtf3)
+        phi3 = c.G * hs + suffix_excl + cppt * (pvtfvb_hi - pvtf3)
 
         # WWIND interior borders 1..nz-1 via the prefix cumsum over k; the
-        # column total (= -dCOLP/dt) is the cumsum's last element
+        # column total (= -dCOLP/dt) is the cumsum's last element.
+        # w3h is HALF the sigma-velocity (the 0.5 of every midpoint average
+        # it multiplies is folded in once here).
         dcolpdt = -csum[:, nz - 1:nz]                        # (w, 1, nxp)
         cn = cb + dt * dcolpdt
-        w3 = -(csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) / cn  # (w, nz-1, nxp)
+        w3h = (csum[:, :-1] + sig_b[:, 1:nz] * dcolpdt) \
+            / (-2.0 * cn)                                    # (w, nz-1, nxp)
 
         # `upd` slices carry the updated fields: the center block plus (when
         # the physics epilogue is on) one extra halo row each side so the
@@ -554,18 +578,19 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         # (the per-element math and order are unchanged). ----
         zero_b = jnp.zeros_like(cn)
         Q = E[:, K2 + 2 * nz:K2 + 5 * nz]                   # pott|qv|qc
-        uflx3 = jnp.concatenate([uflx, uflx, uflx], axis=1)
-        vflx3 = jnp.concatenate([vflx, vflx, vflx], axis=1)
+        uflxh, vflxh = 0.5 * uflx, 0.5 * vflx
+        uflx3h = jnp.concatenate([uflxh, uflxh, uflxh], axis=1)
+        vflx3h = jnp.concatenate([vflxh, vflxh, vflxh], axis=1)
         # vertical flux factor at cell-bottom borders: wpad[0] = 0 encodes
         # the zero top-border flux AND masks the segment-crossing garbage
         # row that _kdn drags across field boundaries in the batch
-        wpad = jnp.concatenate([zero_b, w3], axis=1)        # (w, nz, nxp)
+        wpad = jnp.concatenate([zero_b, w3h], axis=1)       # (w, nz, nxp)
         wpad3 = jnp.concatenate([wpad, wpad, wpad], axis=1)
 
-        fx = uflx3 * 0.5 * (_w(Q) + Q)
-        fy = vflx3 * 0.5 * (_s(Q) + Q)
+        fx = uflx3h * (_w(Q) + Q)
+        fy = vflx3h * (_s(Q) + Q)
         dqdt = -(_e(fx) - fx + _n(fy) - fy) / area
-        bflx = wpad3 * cn * 0.5 * (_kdn(Q) + Q)             # border k flux
+        bflx = wpad3 * cn * (_kdn(Q) + Q)                   # border k flux
         # _kup0 crossing a segment boundary reads the next field's zero
         # top-border flux — exactly the zero bottom-border flux needed
         dqdt = dqdt - (_kup0(bflx) - bflx) / dsig
@@ -588,61 +613,66 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         QB = Q if same_base else B[:, 2 * nz:5 * nz]
         Qn = (upd_b(QB) * cb_c + dt * upd(dqdt)) / cn_c
         pt2 = Qn[:, :nz]
-        qvqc = jnp.maximum(Qn[:, nz:], 0.0)
+        qvqc_r = Qn[:, nz:]
+        qvqc = jnp.where(qvqc_r > 0.0, qvqc_r, 0.0)
         qv2, qc2 = qvqc[:, :nz], qvqc[:, nz:]
 
+        # ---- momentum (shared shifted operands hoisted) ----
+        ue_ = _e(u)
+        su_ = _s(u)
+        vn_ = _n(v)
+        wv_ = _w(v)
+
         # ---- momentum: u ----
-        fxc = 0.5 * (uflx + _e(uflx)) * 0.5 * (u + _e(u))
-        fyc = 0.5 * (_w(vflx) + vflx) * 0.5 * (_s(u) + u)
+        fxc = 0.5 * (uflx + e_uflx) * 0.5 * (u + ue_)
+        fyc = 0.5 * (_w(vflx) + vflx) * 0.5 * (su_ + u)
         adv_u = -(fxc - _w(fxc) + _n(fyc) - fyc) / area
 
-        w_u3 = 0.5 * (_w(w3) + w3)                          # (w, nz-1, nxp)
+        w_u3 = _w(w3h) + w3h                                # (w, nz-1, nxp)
         cn_u = 0.5 * (_w(cn) + cn)
         fz_u = w_u3 * cn_u * 0.5 * (u[:, :-1] + u[:, 1:])   # (w, nz-1, nxp)
         zero3 = jnp.zeros_like(cn)
         fz_u_full = jnp.concatenate([zero3, fz_u, zero3], axis=1)
         vadv_u = -(fz_u_full[:, 1:] - fz_u_full[:, :-1]) / dsig
 
-        vn_ = _n(v)
-        v_at_u = 0.25 * (_w(v) + v + _w(vn_) + vn_)
+        v_at_u = 0.25 * (wv_ + v + _w(vn_) + vn_)
         cor_u = colp_u * (corf + u * tanl / c.R_EARTH) * v_at_u
 
-        pott_u = 0.5 * (_w(pt) + pt)
+        cp_pott_u = 0.5 * (_w(cppt) + cppt)                 # C_P * pott_u
         pgf_u = -colp_u * ((phi3 - _w(phi3))
-                           + c.C_P * pott_u * (pvtf3 - _w(pvtf3))) / dx
+                           + cp_pott_u * (pvtf3 - _w(pvtf3))) / dx
 
         dudt = adv_u + vadv_u + cor_u + pgf_u
         if diff_uv:
             lap = (_e(u) - 2.0 * u + _w(u)) / (dx * dx) \
-                + (_n(u) - 2.0 * u + _s(u)) / (dy * dy)
+                + (_n(u) - 2.0 * u + su_) / (dy * dy)
             dudt = dudt + diff_uv * colp_u * lap
 
         cu_old = 0.5 * (_w(cb) + cb)
         u2 = (upd_b(ub) * upd(cu_old) + dt * upd(dudt)) / upd(cn_u)
 
         # ---- momentum: v ----
-        fyc_v = 0.5 * (vflx + _n(vflx)) * 0.5 * (v + _n(v))
-        fxc_v = 0.5 * (_s(uflx) + uflx) * 0.5 * (_w(v) + v)
+        fyc_v = 0.5 * (vflx + n_vflx) * 0.5 * (v + vn_)
+        fxc_v = 0.5 * (_s(uflx) + uflx) * 0.5 * (wv_ + v)
         adv_v = -(_e(fxc_v) - fxc_v + fyc_v - _s(fyc_v)) / area_v
 
-        w_v3 = 0.5 * (_s(w3) + w3)
+        w_v3 = _s(w3h) + w3h
         cn_v = 0.5 * (_s(cn) + cn)
         fz_v = w_v3 * cn_v * 0.5 * (v[:, :-1] + v[:, 1:])
         fz_v_full = jnp.concatenate([zero3, fz_v, zero3], axis=1)
         vadv_v = -(fz_v_full[:, 1:] - fz_v_full[:, :-1]) / dsig
 
-        ue_ = _e(u)
-        u_at_v = 0.25 * (_s(u) + _s(ue_) + u + ue_)
+        u_at_v = 0.25 * (su_ + _s(ue_) + u + ue_)
         cor_v = -colp_v * (corf_v + u_at_v * tanl_v / c.R_EARTH) * u_at_v
 
-        pott_v = 0.5 * (_s(pt) + pt)
+        cp_pott_v = 0.5 * (_s(cppt) + cppt)                 # C_P * pott_v
         pgf_v = -colp_v * ((phi3 - _s(phi3))
-                           + c.C_P * pott_v * (pvtf3 - _s(pvtf3))) / dy
+                           + cp_pott_v * (pvtf3 - _s(pvtf3))) / dy
 
         dvdt = adv_v + vadv_v + cor_v + pgf_v
         if diff_uv:
-            lap = (_e(v) - 2.0 * v + _w(v)) / (dx * dx) \
-                + (_n(v) - 2.0 * v + _s(v)) / (dy * dy)
+            lap = (_e(v) - 2.0 * v + wv_) / (dx * dx) \
+                + (vn_ - 2.0 * v + _s(v)) / (dy * dy)
             dvdt = dvdt + diff_uv * colp_v * lap
 
         cv_old = 0.5 * (_s(cb) + cb)
@@ -698,9 +728,16 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             # pressure/Exner of the NEW colp (physics sees post-dynamics colp)
             pvb_n = ptop + sig_b * cn_u2                   # (nu, nz+1, nxp)
             pvtfvb_n = (pvb_n / c.P_REF) ** c.KAPPA
-            pvtf_n = (pvb_n[:, 1:] * pvtfvb_n[:, 1:]
-                      - pvb_n[:, :-1] * pvtfvb_n[:, :-1]) \
-                / ((1.0 + c.KAPPA) * (pvb_n[:, 1:] - pvb_n[:, :-1]))
+            pvbn_hi, pvbn_lo = pvb_n[:, 1:], pvb_n[:, :-1]
+            pvtfvbn_hi, pvtfvbn_lo = pvtfvb_n[:, 1:], pvtfvb_n[:, :-1]
+            pvtf_n = (pvbn_hi * pvtfvbn_hi - pvbn_lo * pvtfvbn_lo) \
+                / ((1.0 + c.KAPPA) * (pvbn_hi - pvbn_lo))
+
+            def relu(x):
+                # value-identical to jnp.maximum(x, 0.0) for non-NaN inputs;
+                # where lowers to a fusable select (measured: maximum breaks
+                # Mosaic's elementwise fusion, probe_ops history in STATUS.md)
+                return jnp.where(x > 0.0, x, 0.0)
 
             def row_shift_s(x):
                 return jnp.concatenate([x[:1], x[:-1]], axis=0)
@@ -724,10 +761,10 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 t_c = tsurf2 - c.T_ZERO_C
                 esat = c.MAGNUS_E0 * jnp.exp(
                     c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
-                qsat_s = c.EPS_V * esat / jnp.maximum(
-                    pvb_n[:, nz] - (1.0 - c.EPS_V) * esat, 1.0)
+                den_s = pvb_n[:, nz] - (1.0 - c.EPS_V) * esat
+                qsat_s = c.EPS_V * esat / jnp.where(den_s > 1.0, den_s, 1.0)
                 evap_f = rho * drag_coef * wind * evap2 \
-                    * jnp.maximum(qsat_s - qv2[:, nz - 1], 0.0)
+                    * relu(qsat_s - qv2[:, nz - 1])
                 lhflx = c.L_V * evap_f
                 taux = -rho * drag_coef * wind * u_cc
                 tauy = -rho * drag_coef * wind * v_cc
@@ -753,12 +790,12 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
             if w_trb:
                 # ---- turbulence: vertical K-diffusion ----
-                jump_n = c.C_P * pt2 * (pvtfvb_n[:, 1:] - pvtfvb_n[:, :-1])
+                cppt2 = c.C_P * pt2
+                jump_n = cppt2 * (pvtfvbn_hi - pvtfvbn_lo)
                 incl_n = _cumsum_k(jump_n)
                 sfx = incl_n[:, nz - 1:nz] - incl_n
                 phivb_sfc = c.G * upd(hs)
-                phi_n = phivb_sfc + sfx + c.C_P * pt2 * (pvtfvb_n[:, 1:]
-                                                         - pvtf_n)
+                phi_n = phivb_sfc + sfx + cppt2 * (pvtfvbn_hi - pvtf_n)
                 phivb_rest = phivb_sfc + sfx + jump_n
                 phivb_n = jnp.concatenate([phivb_rest, phivb_sfc], axis=1)
                 tair_n = pt2 * pvtf_n
@@ -769,7 +806,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 pair_vb = pvb_n[:, 1:-1]
                 tair_vb = 0.5 * (tair_n[:, :-1] + tair_n[:, 1:])
                 rho_vb = pair_vb / (c.R_D * tair_vb)
-                rho_cn = (pvb_n[:, 1:] - pvb_n[:, :-1]) / (c.G * dz_cn)
+                rho_cn = (pvbn_hi - pvbn_lo) / (c.G * dz_cn)
 
                 def diffuse(x, kco, dzc, dzvb, rvb, rc):
                     grad = (x[:, :-1] - x[:, 1:]) / dzvb
@@ -779,10 +816,10 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                     return x + dt * (flux[:, 1:] - flux[:, :-1]) / (rc * dzc)
 
                 pt2 = diffuse(pt2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn)
-                qv2 = jnp.maximum(
-                    diffuse(qv2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn), 0.0)
-                qc2 = jnp.maximum(
-                    diffuse(qc2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn), 0.0)
+                qv2 = relu(
+                    diffuse(qv2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn))
+                qc2 = relu(
+                    diffuse(qc2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn))
                 dz_c_u = 0.5 * (_w(dz_cn) + dz_cn)
                 dz_vb_u = 0.5 * (_w(dz_vbn) + dz_vbn)
                 rvb_u = 0.5 * (_w(rho_vb) + rho_vb)
@@ -797,25 +834,26 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
             if w_mic:
                 # ---- microphysics: saturation adjustment + autoconversion ----
-                pair = 0.5 * (pvb_n[:, :-1] + pvb_n[:, 1:])
+                pair = 0.5 * (pvbn_lo + pvbn_hi)
                 tair_m = pt2 * pvtf_n
                 t_c = tair_m - c.T_ZERO_C
                 esat = c.MAGNUS_E0 * jnp.exp(
                     c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
-                qsat = c.EPS_V * esat / jnp.maximum(
-                    pair - (1.0 - c.EPS_V) * esat, 1.0)
+                den_m = pair - (1.0 - c.EPS_V) * esat
+                qsat = c.EPS_V * esat / jnp.where(den_m > 1.0, den_m, 1.0)
                 gamma = 1.0 + (c.L_V ** 2) * qsat \
                     / (c.C_P * c.R_V * tair_m * tair_m)
                 dq = (qv2 - qsat) / gamma
-                cond = jnp.maximum(dq, 0.0)
-                evp = jnp.minimum(qc2, jnp.maximum(-dq, 0.0))
+                cond = relu(dq)
+                ndq = relu(-dq)
+                evp = jnp.where(qc2 < ndq, qc2, ndq)
                 dqc = cond - evp
-                qv2 = jnp.maximum(qv2 - dqc, 0.0)
+                qv2 = relu(qv2 - dqc)
                 qc2 = qc2 + dqc
                 pt2 = pt2 + (c.L_V / c.C_P) * dqc / pvtf_n
                 frac = 1.0 - float(np.exp(-dt / qc_tau))
-                to_rain = jnp.maximum(qc2 - qc_thr, 0.0) * frac
-                qc2 = jnp.maximum(qc2 - to_rain, 0.0)
+                to_rain = relu(qc2 - qc_thr) * frac
+                qc2 = relu(qc2 - to_rain)
                 rain2 = rain2 + jnp.sum(to_rain, axis=1) \
                     * cn_u2[:, 0] * dsig / c.G
 

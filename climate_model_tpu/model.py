@@ -79,12 +79,14 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     corrector kernel — one HBM pass per substep for the entire model step.
     Radiation refreshes its cache packed (interval cond)."""
     from .core.grid import make_grid
-    from .kernels.fused_substep import make_fused_substep_packed
+    from .kernels.fused_substep import (make_fused_substep_packed,
+                                        require_uniform_sigma)
     from .kernels.packing import PackedAux, PackedState
     from .physics.packed import radiation_step_packed
 
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     grid_np = make_grid(gc, num, np_mode=True)
+    require_uniform_sigma(grid_np.sigma_vb)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     phys_tuple = phys_epilogue_tuple(cfg)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
