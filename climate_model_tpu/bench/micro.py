@@ -49,7 +49,7 @@ def _time_chain(fn, init, iters: int, repeats: int = 3) -> float:
 
 
 def micro_bench(baseline: int = 3, iters: int = 200,
-                dtype: str = "float32") -> dict:
+                dtype: str = "float32", cfg: ModelConfig = None) -> dict:
     from ..kernels.fused_substep import (HALO, HALO_N, K2, lane_pad,
                                          make_fused_substep_packed,
                                          pick_block_rows, prog_k, radf_k,
@@ -58,8 +58,9 @@ def micro_bench(baseline: int = 3, iters: int = 200,
     from ..model import phys_epilogue_tuple
     from ..physics.packed import radiation_step_packed
 
-    cfg: ModelConfig = baseline_config(baseline).replace(
-        dtype=dtype, backend="pallas")
+    if cfg is None:
+        cfg = baseline_config(baseline).replace(dtype=dtype,
+                                                backend="pallas")
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     dt_ = jnp.dtype(cfg.dtype)

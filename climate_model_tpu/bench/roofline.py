@@ -35,7 +35,8 @@ def device_hbm_bw(device) -> float:
 
 def step_bytes_per_point(nz: int, dtype_bytes: int = 4,
                          stepper: str = "matsuno",
-                         physics: bool = False) -> float:
+                         physics: bool = False,
+                         rad_every_steps: int = 6) -> float:
     """Minimum HBM traffic per grid point per full model step.
 
     Counting unique (nz,ny,nx)-array traversals for ONE tendency+update pass
@@ -47,19 +48,81 @@ def step_bytes_per_point(nz: int, dtype_bytes: int = 4,
       phi/pvtf/fluxes/wwind are recomputed in-register per tile.
       writes: u, v, pott, qv, qc            (5)
 
-    => 10 array-traversals per pass. Matsuno does 2 passes (predictor +
-    corrector, the predicted state round-trips HBM): 20 traversals. Physics
-    splits (microphysics + surface + turbulence) add ~1 extra fused pass: +8.
-    This is the *optimistic floor*; XLA's actual fusion will move more.
+    => 10 traversals per pass. Matsuno does 2 passes; the corrector
+    additionally re-reads the ORIGINAL (t_n) state for its mass-weighted
+    update (+5): 25 traversals.
+
+    Full physics (the production epilogue schedule, all four
+    parameterizations; VERDICT r1 weak #5 calibration):
+      + cached radiative heating read by both substeps' POTT tendency (+2)
+      + surface/turbulence/microphysics consume the corrector's in-register
+        updated fields (0 extra traversals — that is the point of the
+        epilogue) but tsurf/rain round-trip as 2-D fields (~0)
+      + the radiation recompute itself reads pott/qv/qc + writes the nz
+        heating cache (~4 traversals) every ``rad_every_steps`` steps.
     """
-    passes = {"euler": 10, "matsuno": 20, "rk4": 45}[stepper]
+    passes = {"euler": 10, "matsuno": 25, "rk4": 45}[stepper]
     if physics:
-        passes += 8
+        passes += 2 + 4.0 / max(rad_every_steps, 1)
     return passes * dtype_bytes
 
 
 def speed_of_light_gps(device, nz: int, dtype_bytes=4, stepper="matsuno",
-                       physics=False) -> float:
+                       physics=False, rad_every_steps=6) -> float:
     """Speed-of-light grid-points/s for a full model step on ``device``."""
     bw = device_hbm_bw(device)
-    return bw / step_bytes_per_point(nz, dtype_bytes, stepper, physics)
+    return bw / step_bytes_per_point(nz, dtype_bytes, stepper, physics,
+                                     rad_every_steps)
+
+
+# ---------------------------------------------------------------------------
+# VPU (vector-op) roofline: count the kernel's traced vector work
+# ---------------------------------------------------------------------------
+
+# Fully-fused VPU element rate [elements/s], fp32: measured on v5e via a
+# chained single-consumer elementwise probe (42 ns per (32,32,384) tile op,
+# see docs/STATUS.md round-2 probe log). This is the IDEAL rate — every
+# traced op consuming its operands in vector registers; materialization to
+# VMEM costs ~10x more per element, so vs_vpu_roofline measures how far the
+# kernel sits from perfect operand fusion.
+VPU_ELEM_RATE = {
+    "v5 lite": 9.4e12,
+    "v5e": 9.4e12,
+}
+
+
+def device_vpu_rate(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, r in VPU_ELEM_RATE.items():
+        if key in kind:
+            return r
+    return 9.4e12
+
+
+def pallas_kernel_elems(call, *example_args) -> int:
+    """Total output elements across the traced eqns of a pallas_call's
+    kernel body (per grid step): the element count the VPU roofline prices.
+    Tracing only — no execution, backend-independent."""
+    import jax
+    import numpy as np
+
+    jaxpr = jax.make_jaxpr(call)(*example_args)
+
+    def find(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "pallas_call":
+                return eqn.params["jaxpr"]
+            for v in eqn.params.values():
+                pass
+        return None
+
+    inner = find(jaxpr.jaxpr)
+    if inner is None:
+        return 0
+    total = 0
+    for e in inner.eqns:
+        for v in e.outvars:
+            aval = getattr(v, "aval", None)
+            if aval is not None and hasattr(aval, "shape"):
+                total += int(np.prod(aval.shape))
+    return total

@@ -78,5 +78,11 @@ def measure_scaling(cfg: ModelConfig, steps: int = 10,
         "vs_baseline": round(eff / 0.80, 4),   # BASELINE target: >= 0.80
         "gps_1dev": round(gps1, 1),
         "gps_ndev": round(gpsn, 1),
+        # N-device / 1-device throughput. On VIRTUAL CPU devices (tests on
+        # this box) the N "devices" share the same physical cores, so
+        # ``value`` (which divides by N) is structurally meaningless there;
+        # gps_ratio isolates the sharding/communication overhead instead
+        # (1.0 = sharding costs nothing on shared cores).
+        "gps_ratio": round(gpsn / gps1, 4),
         "n_devices": n_dev,
     }

@@ -16,7 +16,46 @@ import jax
 from ..core.config import baseline_config
 from ..core.init import initialize
 from ..model import make_chunk_runner
-from .roofline import speed_of_light_gps
+from .roofline import device_vpu_rate, pallas_kernel_elems, speed_of_light_gps
+
+
+def _vpu_floor_s(cfg) -> float:
+    """Ideal fully-fused VPU time [s] per step of the two fused dynamics
+    kernels (traced element count / measured fused element rate)."""
+    import jax.numpy as jnp
+
+    from ..core.grid import make_grid
+    from ..kernels.fused_substep import (K2, lane_pad,
+                                         make_fused_substep_packed,
+                                         pick_block_rows, prog_k, radf_k,
+                                         row_pad)
+    from ..model import phys_epilogue_tuple
+
+    gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
+    nz, ny, nx = gc.nz, gc.ny, gc.nx
+    dt_ = jnp.dtype(cfg.dtype)
+    phys_tuple = phys_epilogue_tuple(cfg)
+    bj = pick_block_rows(nz, ny, nx, same_base=False,
+                         with_rad=phys.radiation, itemsize=dt_.itemsize,
+                         with_phys=phys_tuple is not None)
+    grid_np = make_grid(gc, num, np_mode=True)
+    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+              with_rad=phys.radiation, diff_uv=num.diff_uv,
+              diff_pott=num.diff_pott, diff_moist=num.diff_moist, dtype=dt_)
+    pred = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
+    corr = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
+                                     phys=phys_tuple, **kw)
+    nyp, nxp = row_pad(ny, bj), lane_pad(nx)
+    z = lambda k: jnp.zeros((nyp, k, nxp), dt_)
+    geo = jnp.zeros((nyp, 1, 8), dt_)
+    radf = (z(radf_k(nz)),) if phys.radiation else ()
+    radf_c = (z(radf_k(nz)),) if (phys.radiation or phys_tuple) else ()
+    elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo)
+    elems += pallas_kernel_elems(corr, z(prog_k(nz)), z(prog_k(nz)),
+                                 *radf_c, z(K2), geo)
+    nt = -(-ny // bj)
+    import jax
+    return elems * nt / device_vpu_rate(jax.devices()[0])
 
 
 def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
@@ -42,13 +81,16 @@ def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
     gps = npoints * steps / best
     dev = jax.devices()[0]
     dtype_bytes = 4 if dtype == "float32" else 8
+    ph = cfg.physics
+    any_phys = (ph.microphysics or ph.radiation or ph.surface
+                or ph.turbulence)
     sol = speed_of_light_gps(dev, gc.nz, dtype_bytes,
-                             cfg.numerics.time_stepping,
-                             physics=cfg.physics.microphysics)
-    return {
+                             cfg.numerics.time_stepping, physics=any_phys,
+                             rad_every_steps=ph.rad_every_steps)
+    out = {
         "metric": f"grid-points/s/chip (baseline config #{baseline}, "
                   f"{gc.nx}x{gc.ny}x{gc.nz}, {cfg.numerics.time_stepping}, "
-                  f"physics={'on' if cfg.physics.microphysics else 'off'}, "
+                  f"physics={'on' if any_phys else 'off'}, "
                   f"backend={backend})",
         "value": round(gps, 1),
         "unit": "grid-points/s",
@@ -56,4 +98,12 @@ def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
         "step_time_ms": round(best / steps * 1e3, 3),
         "device": str(dev.device_kind),
         "speed_of_light_gps": round(sol, 1),
+        "vs_hbm_roofline": round(gps / sol, 4),
     }
+    if backend == "pallas":
+        # fully-fused VPU floor of the two dynamics kernels (ideal operand
+        # fusion; bench/roofline.py VPU_ELEM_RATE) — the compute-side
+        # counterpart of the HBM roofline
+        vpu_s = _vpu_floor_s(cfg)
+        out["vs_vpu_roofline"] = round(vpu_s / (best / steps), 4)
+    return out

@@ -54,41 +54,58 @@ from .mesh import LAT, LON, validate_divisibility
 from .sharding import forcing_pspec, grid_pspec, state_pspec
 
 
+def refresh_cols(x, *, nx_l: int, n_lon: int):
+    """Refresh the packed GX lon ghost columns of ``x`` (NYP, K, NXP) from
+    the periodic lon ring (ppermute wraparound). Single-shard lon is a
+    no-op: the kernel's own wrap maintenance is the global semantics."""
+    if n_lon <= 1:
+        return x
+    east_real = x[..., nx_l:GX + nx_l]                # lanes GX+nx_l-GX ..
+    west_real = x[..., GX:2 * GX]
+    fwd = [(j, (j + 1) % n_lon) for j in range(n_lon)]
+    bwd = [(j, (j - 1) % n_lon) for j in range(n_lon)]
+    from_west = jax.lax.ppermute(east_real, LON, fwd)
+    from_east = jax.lax.ppermute(west_real, LON, bwd)
+    return jnp.concatenate(
+        [from_west, x[..., GX:GX + nx_l], from_east,
+         x[..., 2 * GX + nx_l:]], axis=-1)
+
+
+def lat_edges(x, *, ny_l: int, n_lat: int):
+    """ppermute the lat ghost-row payloads of ``x``: returns
+    ``(from_south (HALO rows), from_north (HALO_N rows))`` with polar-edge
+    shards falling back to their existing (kernel-written wall) ghosts.
+    These permutes touch only the edge-row slices, so a consumer that does
+    not need them (the interior of the fused kernel) stays independent —
+    XLA overlaps the collective with that compute (halo_overlap mode)."""
+    lat_idx = jax.lax.axis_index(LAT)
+    send_up = x[ny_l:HALO + ny_l]                     # top HALO real rows
+    send_dn = x[HALO:HALO + HALO_N]                   # bottom HALO_N real rows
+    up = [(j, j + 1) for j in range(n_lat - 1)]
+    dn = [(j + 1, j) for j in range(n_lat - 1)]
+    from_south = jax.lax.ppermute(send_up, LAT, up)
+    from_north = jax.lax.ppermute(send_dn, LAT, dn)
+    south = jnp.where(lat_idx == 0, x[0:HALO], from_south)
+    north = jnp.where(lat_idx == n_lat - 1,
+                      x[HALO + ny_l:HALO + ny_l + HALO_N], from_north)
+    return south, north
+
+
+def apply_lat(x, south, north, *, ny_l: int):
+    """Splice exchanged lat ghost rows into the packed array."""
+    return jnp.concatenate(
+        [south, x[HALO:HALO + ny_l], north, x[HALO + ny_l + HALO_N:]],
+        axis=0)
+
+
 def refresh_ghosts(x, *, ny_l: int, nx_l: int, n_lat: int, n_lon: int,
                    cols: bool = True):
-    """Refresh the packed ghost rows/columns of a shard-local packed array
-    ``x`` (NYP, K, NXP) from mesh neighbors.
-
-    Lon: periodic ring — west ghosts get the west neighbor's easternmost GX
-    real columns and vice versa. Lat: open chain — south ghosts get the
-    south neighbor's top HALO real rows, north ghosts the north neighbor's
-    bottom HALO_N real rows; polar-edge shards keep their existing
-    (kernel-written wall) ghosts. Single-shard axes are skipped: the
-    kernel's own wrap/wall maintenance is already the global semantics."""
-    if cols and n_lon > 1:
-        east_real = x[..., nx_l:GX + nx_l]            # lanes GX+nx_l-GX ..
-        west_real = x[..., GX:2 * GX]
-        fwd = [(j, (j + 1) % n_lon) for j in range(n_lon)]
-        bwd = [(j, (j - 1) % n_lon) for j in range(n_lon)]
-        from_west = jax.lax.ppermute(east_real, LON, fwd)
-        from_east = jax.lax.ppermute(west_real, LON, bwd)
-        x = jnp.concatenate(
-            [from_west, x[..., GX:GX + nx_l], from_east,
-             x[..., 2 * GX + nx_l:]], axis=-1)
+    """Blocking refresh of all packed ghosts (lon cols + lat rows): the
+    non-overlapped schedule, and the setup path for static aux arrays."""
+    if cols:
+        x = refresh_cols(x, nx_l=nx_l, n_lon=n_lon)
     if n_lat > 1:
-        lat_idx = jax.lax.axis_index(LAT)
-        send_up = x[ny_l:HALO + ny_l]                 # top HALO real rows
-        send_dn = x[HALO:HALO + HALO_N]               # bottom HALO_N real rows
-        up = [(j, j + 1) for j in range(n_lat - 1)]
-        dn = [(j + 1, j) for j in range(n_lat - 1)]
-        from_south = jax.lax.ppermute(send_up, LAT, up)
-        from_north = jax.lax.ppermute(send_dn, LAT, dn)
-        south = jnp.where(lat_idx == 0, x[0:HALO], from_south)
-        north = jnp.where(lat_idx == n_lat - 1,
-                          x[HALO + ny_l:HALO + ny_l + HALO_N], from_north)
-        x = jnp.concatenate(
-            [south, x[HALO:HALO + ny_l], north, x[HALO + ny_l + HALO_N:]],
-            axis=0)
+        x = apply_lat(x, *lat_edges(x, ny_l=ny_l, n_lat=n_lat), ny_l=ny_l)
     return x
 
 
@@ -97,7 +114,18 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     """Jitted ``run(state, grid, forcing) -> state`` advancing ``n_steps``
     on the packed fused-kernel path inside ONE shard_map region (pack/unpack
     at the chunk boundary; per-substep ghost refresh is the only
-    communication)."""
+    communication).
+
+    HALO OVERLAP (``cfg.sharding.halo_overlap``, SURVEY.md §5 long-context
+    row; BASELINE config #4 "with halo-overlap"): instead of splicing the
+    lat ghost rows into the input before the kernel (which serializes
+    ppermute -> kernel), the main kernel launches on the STALE-ghost input —
+    making it data-independent of the lat ppermutes, which XLA then runs
+    concurrently — and two tiny seam-strip kernels recompute the only
+    output rows the stale ghosts can influence (south NY_S=2, north NY_N=3,
+    the kernel's halo radii) from the freshly exchanged rows; the outputs
+    are spliced. Lon ghost columns (~15% of the halo bytes, needed by every
+    lat tile) stay on the blocking path."""
     from ..model import phys_epilogue_tuple
 
     validate_divisibility(cfg, mesh)
@@ -127,6 +155,47 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     corr_radf = phys.radiation or with_phys
     refresh = functools.partial(refresh_ghosts, ny_l=ny_l, nx_l=nx_l,
                                 n_lat=n_lat, n_lon=n_lon)
+    r_cols = functools.partial(refresh_cols, nx_l=nx_l, n_lon=n_lon)
+    edges = functools.partial(lat_edges, ny_l=ny_l, n_lat=n_lat)
+
+    NY_S, NY_N = HALO, HALO_N          # seam widths = the kernel halo radii
+    overlap = bool(cfg.sharding.halo_overlap) and n_lat > 1
+    if overlap:
+        if ny_l < NY_S + NY_N:
+            raise ValueError(
+                f"halo_overlap needs ny/mesh_lat >= {NY_S + NY_N} rows per "
+                f"shard (got {ny_l})")
+        pred_s = make_fused_substep_packed(nz, NY_S, nx_l, bj=NY_S,
+                                           same_base=True, **kw)
+        pred_n = make_fused_substep_packed(nz, NY_N, nx_l, bj=NY_N,
+                                           same_base=True, **kw)
+        corr_s = make_fused_substep_packed(nz, NY_S, nx_l, bj=NY_S,
+                                           same_base=False, phys=phys_tuple,
+                                           **kw)
+        corr_n = make_fused_substep_packed(nz, NY_N, nx_l, bj=NY_N,
+                                           same_base=False, phys=phys_tuple,
+                                           **kw)
+
+    def s_in(x, fresh_south):
+        """South seam-strip packed input: fresh ghosts + local context rows
+        (rows_pad(NY_S, NY_S) = HALO + NY_S + HALO_N rows)."""
+        return jnp.concatenate(
+            [fresh_south, x[HALO:HALO + NY_S + HALO_N]], axis=0)
+
+    def n_in(x, fresh_north):
+        """North seam-strip packed input (context + real + fresh ghosts)."""
+        return jnp.concatenate(
+            [x[HALO + ny_l - NY_N - HALO:HALO + ny_l], fresh_north], axis=0)
+
+    def merge(out_main, out_s, out_n):
+        """Splice seam-strip outputs (incl. their wall-ghost maintenance)
+        over the stale-influenced rows of the main kernel output."""
+        return jnp.concatenate([
+            out_s[:HALO + NY_S],
+            out_main[HALO + NY_S:HALO + ny_l - NY_N],
+            out_n[HALO:HALO + NY_N + HALO_N],
+            out_main[HALO + ny_l + HALO_N:],
+        ], axis=0)
 
     def local_run(state: State, g: Grid, forcing: Forcing) -> State:
         nyp, nxp = row_pad(ny_l, bj), lane_pad(nx_l)
@@ -148,8 +217,14 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
         aux = dataclasses.replace(aux, aux2=refresh(aux2),
                                   geo=refresh(aux.geo, cols=False))
         ps = pack_full(state, bj)
+        if overlap:
+            # static strip slices (ghost rows already hold true neighbors)
+            a2_s, a2_n = aux.aux2[:HALO + NY_S + HALO_N], \
+                n_in(aux.aux2, aux.aux2[HALO + ny_l:HALO + ny_l + HALO_N])
+            geo_s = aux.geo[:HALO + NY_S + HALO_N]
+            geo_n = n_in(aux.geo, aux.geo[HALO + ny_l:HALO + ny_l + HALO_N])
 
-        def body(s, _):
+        def body_blocking(s, _):
             if phys.radiation:
                 s = radiation_step_packed(s, aux, cfg, nz)
             prog = refresh(s.prog)
@@ -160,6 +235,35 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
             out = corr_k(*corr_args, aux.aux2, aux.geo)
             return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
 
+        def body_overlap(s, _):
+            if phys.radiation:
+                s = radiation_step_packed(s, aux, cfg, nz)
+            prog = r_cols(s.prog)
+            radf = r_cols(s.radf) if corr_radf else s.radf
+            # ---- predictor: seam ppermutes || main kernel ----
+            fs_p, fn_p = edges(prog)
+            fs_r, fn_r = edges(radf) if corr_radf else (None, None)
+            rad_m = (radf,) if phys.radiation else ()
+            rad_s = (s_in(radf, fs_r),) if phys.radiation else ()
+            rad_n = (n_in(radf, fn_r),) if phys.radiation else ()
+            p_main = pred_k(prog, *rad_m, aux.aux2, aux.geo)
+            p_s = pred_s(s_in(prog, fs_p), *rad_s, a2_s, geo_s)
+            p_n = pred_n(n_in(prog, fn_p), *rad_n, a2_n, geo_n)
+            p = r_cols(merge(p_main, p_s, p_n))
+            # ---- corrector: same schedule; base rows reuse fs_p/fn_p ----
+            fs_q, fn_q = edges(p)
+            rad_mc = (radf,) if corr_radf else ()
+            rad_sc = (s_in(radf, fs_r),) if corr_radf else ()
+            rad_nc = (n_in(radf, fn_r),) if corr_radf else ()
+            out_main = corr_k(p, prog, *rad_mc, aux.aux2, aux.geo)
+            out_s = corr_s(s_in(p, fs_q), s_in(prog, fs_p), *rad_sc,
+                           a2_s, geo_s)
+            out_n = corr_n(n_in(p, fn_q), n_in(prog, fn_p), *rad_nc,
+                           a2_n, geo_n)
+            out = merge(out_main, out_s, out_n)
+            return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
+
+        body = body_overlap if overlap else body_blocking
         ps, _ = jax.lax.scan(body, ps, None, length=n_steps)
         return unpack_full(ps, state, nz, ny_l, nx_l)
 

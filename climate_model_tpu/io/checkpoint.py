@@ -28,15 +28,17 @@ def config_fingerprint(cfg: ModelConfig) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def save_checkpoint(path: str, state: State, cfg: ModelConfig):
+def save_checkpoint(path: str, state: State, cfg: ModelConfig,
+                    _force_multi: bool = None):
     """Write state pytree + config fingerprint. ``path`` is a .npz file.
 
     Multi-host (SURVEY.md §3.4 rebuild note: per-host shard saving): each
-    process writes only its addressable shards to ``path.pN``; process 0
-    additionally records the fingerprint. Single-process saves the full
-    arrays (np.asarray gathers across local devices)."""
+    process writes only its addressable shards to ``path.pN``, keyed
+    ``name@start0,start1[,start2]`` (global offsets); ``load_checkpoint``
+    reassembles from all shard files. Single-process saves the full arrays
+    (np.asarray gathers across local devices)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    multi = jax.process_count() > 1
+    multi = jax.process_count() > 1 if _force_multi is None else _force_multi
     if multi:
         path = f"{path}.p{jax.process_index()}"
         leaves = {}
@@ -60,16 +62,68 @@ def save_checkpoint(path: str, state: State, cfg: ModelConfig):
     os.replace(tmp, path)
 
 
+def _check_fingerprint(z, cfg: ModelConfig, path: str):
+    fp = bytes(z["_fingerprint"]).decode()
+    want = config_fingerprint(cfg)
+    if fp != want:
+        raise ValueError(
+            f"checkpoint {path}: config fingerprint {fp} != current {want}; "
+            "refusing to resume with a different configuration")
+
+
 def load_checkpoint(path: str, cfg: ModelConfig) -> State:
     """Bit-exact resume; raises on config mismatch (the reference silently
-    trusted the pickle; we verify)."""
-    with np.load(path) as z:
-        fp = bytes(z["_fingerprint"]).decode()
-        want = config_fingerprint(cfg)
-        if fp != want:
+    trusted the pickle; we verify).
+
+    Accepts either a single-process checkpoint at ``path`` or a multi-host
+    set ``path.p0..pN`` (SURVEY.md §3.4: per-host shard files): the shard
+    files' ``name@offsets`` entries are reassembled into global arrays
+    (callers re-shard via dist.sharding.shard_inputs, so resume works on a
+    different process count than the save)."""
+    if os.path.exists(path):
+        with np.load(path) as z:
+            _check_fingerprint(z, cfg, path)
+            kw = {f.name: jax.numpy.asarray(z[f.name])
+                  for f in dataclasses.fields(State)}
+        return State(**kw)
+
+    import glob
+    shard_files = sorted(glob.glob(path + ".p*"))
+    if not shard_files:
+        raise FileNotFoundError(
+            f"no checkpoint at {path} (nor shard files {path}.p*)")
+    pieces: dict = {}
+    for pf in shard_files:
+        with np.load(pf) as z:
+            _check_fingerprint(z, cfg, pf)
+            for key in z.files:
+                if key == "_fingerprint":
+                    continue
+                name, _, off = key.partition("@")
+                starts = (tuple(int(x) for x in off.split(","))
+                          if off else ())
+                pieces.setdefault(name, []).append((starts, z[key]))
+
+    kw = {}
+    for f in dataclasses.fields(State):
+        if f.name not in pieces:
+            raise ValueError(f"checkpoint shard files miss field {f.name!r}")
+        parts = pieces[f.name]
+        if parts[0][0] == ():                      # replicated scalar
+            kw[f.name] = jax.numpy.asarray(parts[0][1])
+            continue
+        nd = parts[0][1].ndim
+        shape = tuple(max(st[d] + a.shape[d] for st, a in parts)
+                      for d in range(nd))
+        full = np.empty(shape, parts[0][1].dtype)
+        seen = np.zeros(shape, bool)
+        for st, a in parts:
+            idx = tuple(slice(s, s + n) for s, n in zip(st, a.shape))
+            full[idx] = a
+            seen[idx] = True
+        if not seen.all():
             raise ValueError(
-                f"checkpoint config fingerprint {fp} != current {want}; "
-                "refusing to resume with a different configuration")
-        kw = {f.name: jax.numpy.asarray(z[f.name])
-              for f in dataclasses.fields(State)}
+                f"checkpoint shard files do not cover field {f.name!r} "
+                f"(global shape {shape}); incomplete save?")
+        kw[f.name] = jax.numpy.asarray(full)
     return State(**kw)

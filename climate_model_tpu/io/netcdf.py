@@ -29,6 +29,20 @@ _FIELD_3D = ("UWIND", "VWIND", "POTT", "TAIR", "PHI", "QV", "QC")
 _FIELD_2D = ("PSURF", "COLP", "RAIN", "TSURF")
 
 
+def host_global(tree):
+    """Make every array in ``tree`` fully addressable on every host.
+
+    Multi-host runs hold globally-sharded jax.Arrays whose remote shards
+    ``np.asarray`` cannot fetch; gather them over DCN first
+    (SURVEY.md §3.5: ``process_allgather`` -> host-0 writer). Single-process
+    (incl. multi-device single-host) arrays pass through unchanged."""
+    import jax
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def write_constants_nc(path: str, grid: Grid, forcing: Forcing):
     """Constants file: grid coordinates, HSURF, land mask, albedo."""
     from scipy.io import netcdf_file
@@ -97,6 +111,14 @@ class NCWriter:
         os.makedirs(out_dir, exist_ok=True)
 
     def write(self, state: State, grid: Grid, forcing: Forcing):
+        import jax
+        if jax.process_count() > 1:
+            # gather on every host (the allgather is a collective all
+            # processes must join), write on host 0 only
+            state, grid, forcing = host_global((state, grid, forcing))
+            if jax.process_index() != 0:
+                self.count += 1
+                return None
         if self.count == 0:
             write_constants_nc(os.path.join(self.out_dir, "constants.nc"),
                                grid, forcing)

@@ -38,17 +38,20 @@ mode = "{mode}"
 
 
 def test_scaling_harness():
-    """Plumbing check of the scaling-efficiency harness on virtual devices
-    (efficiency numbers are meaningless on CPU; shapes/fields must be sane)."""
+    """Scaling harness on 8 virtual devices. The 8 virtual CPU devices share
+    the same physical cores, so per-device efficiency (value) is
+    structurally meaningless here; the plumbing gate is the N-vs-1
+    throughput RATIO — sharding + per-substep ppermute halos must not eat
+    the run (measured ~0.9 on this box at 256x128x16, docs/STATUS.md)."""
     from climate_model_tpu.bench.scaling import measure_scaling
     from climate_model_tpu.core.config import (GridConfig, ModelConfig,
                                                ShardingConfig)
 
-    cfg = ModelConfig(grid=GridConfig(nx=32, ny=16, nz=4),
+    cfg = ModelConfig(grid=GridConfig(nx=128, ny=64, nz=8),
                       sharding=ShardingConfig(mesh_lat=2, mesh_lon=4,
                                               mode="shard_map"),
-                      dtype="float64")
-    out = measure_scaling(cfg, steps=3)
+                      dtype="float32")
+    out = measure_scaling(cfg, steps=5)
     assert out["n_devices"] == 8
     assert out["gps_1dev"] > 0 and out["gps_ndev"] > 0
-    assert 0 < out["value"]
+    assert out["gps_ratio"] > 0.3, out

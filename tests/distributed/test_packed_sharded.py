@@ -55,3 +55,64 @@ def test_packed_sharded_matches_single_device(mesh_shape, physics):
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=1e-7, atol=1e-8, err_msg=f"{name} mesh={mesh_shape}")
     assert int(out.step) == N_STEPS
+
+
+def _overlap_cfg(cfg, mesh_lat, mesh_lon):
+    import dataclasses
+    return cfg.replace(sharding=dataclasses.replace(
+        cfg.sharding, mesh_lat=mesh_lat, mesh_lon=mesh_lon,
+        mode="shard_map", halo_overlap=True))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4)])
+@pytest.mark.parametrize("physics", [False, True])
+def test_packed_sharded_overlap_matches_single_device(mesh_shape, physics):
+    """halo_overlap=True (main kernel on stale lat ghosts + seam-strip
+    kernels over the fresh ppermuted rows) must reproduce the single-device
+    run exactly like the blocking schedule does."""
+    cfg = _overlap_cfg(_cfg(physics), *mesh_shape)
+    state, forcing, grid = initialize(cfg)
+    ref = jax.block_until_ready(
+        make_chunk_runner(cfg, N_STEPS)(state, grid, forcing))
+
+    mesh = make_mesh(mesh_lat=mesh_shape[0], mesh_lon=mesh_shape[1])
+    run = make_packed_sharded_runner(cfg, mesh, grid, n_steps=N_STEPS)
+    s, g, f = shard_inputs(mesh, state, grid, forcing)
+    out = jax.block_until_ready(run(s, g, f))
+    for name in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-7, atol=1e-8, err_msg=f"{name} mesh={mesh_shape}")
+    assert int(out.step) == N_STEPS
+
+
+def test_overlap_matches_blocking_schedule():
+    """Overlapped vs blocking schedule on the same mesh. Not bitwise: the
+    seam-strip kernels see different tile windows than the main kernel's
+    edge tiles, and the documented halo-window clamp (module docstring of
+    dist/packed_halo.py) perturbs 2nd-order drag terms at the 1e-11 level
+    per substep, amplified a few decades by 4 steps of advection; the
+    schedules must agree within the same caveat budget as
+    sharded-vs-unsharded (far below fp32 roundoff)."""
+    cfg = _cfg(True)
+    state, forcing, grid = initialize(cfg)
+    mesh = make_mesh(mesh_lat=2, mesh_lon=2)
+    s, g, f = shard_inputs(mesh, state, grid, forcing)
+    out_b = jax.block_until_ready(
+        make_packed_sharded_runner(cfg, mesh, grid, n_steps=N_STEPS)(s, g, f))
+    cfg_o = _overlap_cfg(cfg, 2, 2)
+    out_o = jax.block_until_ready(
+        make_packed_sharded_runner(cfg_o, mesh, grid,
+                                   n_steps=N_STEPS)(s, g, f))
+    for name in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_o, name)), np.asarray(getattr(out_b, name)),
+            rtol=1e-7, atol=1e-8, err_msg=name)
+
+
+def test_overlap_refuses_thin_shards():
+    cfg = _overlap_cfg(_cfg(False), 4, 2)      # ny_l = 4 < NY_S + NY_N
+    state, forcing, grid = initialize(cfg)
+    mesh = make_mesh(mesh_lat=4, mesh_lon=2)
+    with pytest.raises(ValueError, match="halo_overlap"):
+        make_packed_sharded_runner(cfg, mesh, grid, n_steps=1)
