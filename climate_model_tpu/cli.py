@@ -86,9 +86,18 @@ def cmd_run(args) -> int:
         # slice and DCN across hosts, all emitted by XLA.
         jax.distributed.initialize()
     state, forcing, grid = initialize(cfg)
-    if args.restart_from:
-        state = load_checkpoint(args.restart_from, cfg)
-        print(f"resumed from {args.restart_from} at step {int(state.step)}")
+    auto_ckpt = (os.path.join(args.out_dir, "restart.npz")
+                 if args.out_dir else None)
+    restart_from = args.restart_from
+    if (not restart_from and getattr(args, "auto_resume", False)
+            and auto_ckpt and (os.path.exists(auto_ckpt)
+                               or os.path.exists(auto_ckpt + ".p0"))):
+        # failure-recovery loop (SURVEY.md §5 failure-detection row):
+        # a relaunched run picks up its own last periodic checkpoint
+        restart_from = auto_ckpt
+    if restart_from:
+        state = load_checkpoint(restart_from, cfg)
+        print(f"resumed from {restart_from} at step {int(state.step)}")
 
     dt = float(grid.dt)
     n_total = int(cfg.sim_days * 86400.0 / dt)
@@ -152,9 +161,9 @@ def cmd_run(args) -> int:
           f"chunk={chunk}  device={jax.devices()[0].platform}{mesh_info}",
           flush=True)
     t0 = time.time()
-    done = 0
+    done = int(state.step)      # nonzero on resume: run the REMAINDER
     restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
-    next_restart = restart_every
+    next_restart = (done // restart_every + 1) * restart_every
     while done < n_total:
         state, diag = run_chunk(state)
         state = jax.block_until_ready(state)
