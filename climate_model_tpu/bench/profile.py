@@ -88,7 +88,7 @@ def profile_subsystems(cfg: ModelConfig, trace_dir: Optional[str] = None,
         trb = jax.jit(lambda s: turbulence_step(s, grid, forcing, cfg, dt))
         rows["turbulence"], _ = _time(trb, state)
     if p.microphysics:
-        mic = jax.jit(lambda s: microphysics_step(s, grid, forcing.hsurf,
+        mic = jax.jit(lambda s: microphysics_step(s, grid, forcing,
                                                   cfg, dt))
         rows["microphysics"], _ = _time(mic, state)
 

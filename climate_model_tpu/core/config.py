@@ -66,6 +66,17 @@ class PhysicsConfig:
     albedo_ocean: float = 0.08
     evap_efficiency_land: float = 0.3
     solar_constant: float = 1365.0
+    # Soil hydrology (reference ``soil_model.py`` [C/P]: prognostic soil
+    # moisture fed by rain and depleted by evaporation, controlling the
+    # land evaporation efficiency). Active when ``surface`` is on; set
+    # False to fall back to the static Forcing.evap_eff map.
+    soil_moisture: bool = True
+    soil_moist_cap: float = 0.02     # field capacity [m liquid water]
+    soil_moist_init: float = 0.01    # initial land soil water [m]
+    # Ice/snow albedo (reference surface albedo raised where the surface
+    # is frozen). Active when ``radiation`` is on.
+    dynamic_albedo: bool = True
+    albedo_ice: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

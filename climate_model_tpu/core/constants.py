@@ -31,5 +31,6 @@ MAGNUS_E0 = 610.94       # [Pa]
 MAGNUS_A = 17.625
 MAGNUS_B = 243.04
 T_ZERO_C = 273.15        # 0 deg C in K
+RHO_WATER = 1000.0       # density of liquid water [kg m-3]
 
 SECONDS_PER_DAY = 86_400.0

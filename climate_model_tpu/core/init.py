@@ -95,8 +95,12 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     # so surface fluxes engage immediately); the meridional structure comes
     # from radiation + the surface energy budget during the run.
     tsurf = tair[-1] + 1.0
+    # Soil water: land starts half-full (reference soil moisture IC [P]);
+    # ocean cells carry field capacity so their evap efficiency is 1.
+    p = cfg.physics
+    soil_moist = np.where(land > 0.5, p.soil_moist_init, p.soil_moist_cap)
     state = dict(u=u, v=v, colp=colp, pott=pott, qv=qv, qc=qc,
-                 tsurf=tsurf, rain=np.zeros((ny, nx)))
+                 tsurf=tsurf, rain=np.zeros((ny, nx)), soil_moist=soil_moist)
     forcing = dict(hsurf=hsurf, land_mask=land, albedo=albedo,
                    evap_eff=evap_eff)
     return state, forcing, grid_np
@@ -117,6 +121,7 @@ def initialize(cfg: ModelConfig, kind: str = "gaussian_mountain",
         pott=jnp.asarray(st_np["pott"], dtype),
         qv=jnp.asarray(st_np["qv"], dtype), qc=jnp.asarray(st_np["qc"], dtype),
         tsurf=jnp.asarray(st_np["tsurf"], dtype), rain=z2,
+        soil_moist=jnp.asarray(st_np["soil_moist"], dtype),
         dpottdt_rad=z3, swflx_sfc=z2, lwflx_sfc=z2,
         t=jnp.zeros((), dtype), step=jnp.zeros((), jnp.int32),
     )

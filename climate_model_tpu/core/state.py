@@ -38,6 +38,8 @@ class State:
     qc: jax.Array      # cloud-water mixing ratio [kg kg-1]
     tsurf: jax.Array   # surface/soil temperature [K], (ny, nx)
     rain: jax.Array    # accumulated surface precipitation [kg m-2], (ny, nx)
+    soil_moist: jax.Array  # prognostic soil water [m], (ny, nx); fed by rain,
+                           # depleted by evaporation (physics/surface.py)
     # Slow-physics caches: radiation runs every N steps (reference
     # ``i_rad_nth_hour`` interval, SURVEY.md §2.1 radiation row) and its
     # heating/surface fluxes are held constant in between.
@@ -75,6 +77,7 @@ def zeros_state(nz: int, ny: int, nx: int, dtype=jnp.float32) -> State:
     z2 = jnp.zeros((ny, nx), dtype)
     return State(
         u=z3, v=z3, colp=z2, pott=z3 + 300.0, qv=z3, qc=z3,
-        tsurf=z2 + 288.0, rain=z2, dpottdt_rad=z3, swflx_sfc=z2, lwflx_sfc=z2,
+        tsurf=z2 + 288.0, rain=z2, soil_moist=z2 + 0.01,
+        dpottdt_rad=z3, swflx_sfc=z2, lwflx_sfc=z2,
         t=jnp.zeros((), dtype), step=jnp.zeros((), jnp.int32),
     )

@@ -28,7 +28,8 @@ def state_pspec() -> State:
     def spec_for(name):
         if name in ("t", "step"):
             return P()
-        if name in ("colp", "tsurf", "rain", "swflx_sfc", "lwflx_sfc"):
+        if name in ("colp", "tsurf", "rain", "soil_moist",
+                    "swflx_sfc", "lwflx_sfc"):
             return P(LAT, LON)
         return P(None, LAT, LON)
 

@@ -276,7 +276,10 @@ def step_matsuno(state, dt, grid, hsurf, moisture=True, dpottdt_src=None,
 # ---------------------------------------------------------------------------
 
 def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
-                      qc_autoconv_threshold=5e-4):
+                      qc_autoconv_threshold=5e-4, land_mask=None,
+                      soil_moist_cap=0.02):
+    """``land_mask`` switches on the soil-hydrology coupling: this step's
+    rain refills the land bucket up to field capacity."""
     from ..physics.thermo import qsat_water
 
     d = diagnose(state["colp"], state["pott"], hsurf, grid)
@@ -286,6 +289,7 @@ def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
     qv = state["qv"].copy()
     qc = state["qc"].copy()
     rain = state["rain"].copy()
+    rain_inc = np.zeros_like(rain)
     frac = 1.0 - np.exp(-dt / qc_autoconv_time)
     for k in range(nz):
         pair = 0.5 * (d["pvb"][k] + d["pvb"][k + 1])
@@ -301,9 +305,20 @@ def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
         pott[k] += (c.L_V / c.C_P) * dqc / d["pvtf"][k]
         to_rain = np.maximum(qc[k] - qc_autoconv_threshold, 0.0) * frac
         qc[k] -= to_rain
-        rain += to_rain * state["colp"] * grid.dsigma[k] / c.G
+        rain_inc += to_rain * state["colp"] * grid.dsigma[k] / c.G
+    rain += rain_inc
     new.update(pott=pott, qv=np.maximum(qv, 0.0), qc=np.maximum(qc, 0.0),
                rain=rain)
+    if land_mask is not None:
+        ny, nx = rain.shape
+        soil = state["soil_moist"].copy()
+        for j in range(ny):
+            for i in range(nx):
+                if land_mask[j, i] > 0.5:
+                    soil[j, i] = min(soil[j, i]
+                                     + rain_inc[j, i] / c.RHO_WATER,
+                                     soil_moist_cap)
+        new.update(soil_moist=soil)
     return new
 
 
@@ -336,7 +351,8 @@ def _qsat_np(tair, pair):
     return c.EPS_V * esat / max(pair - (1.0 - c.EPS_V) * esat, 1.0)
 
 
-def radiation_np(state, grid, forcing, t, solar_constant=1365.0):
+def radiation_np(state, grid, forcing, t, solar_constant=1365.0,
+                 dynamic_albedo=False, albedo_ice=0.5):
     """Gray SW + LW column radiation, one explicit loop per column.
 
     Returns (dpottdt_rad, swflx_sfc, lwflx_sfc) with the conventions of
@@ -377,10 +393,14 @@ def radiation_np(state, grid, forcing, t, solar_constant=1365.0):
             f_dn[0] = solar_constant * mu
             for k in range(nz):
                 f_dn[k + 1] = f_dn[k] * np.exp(-tau_sw[k] * inv_mu)
-            sw_sfc[j, i] = (1.0 - forcing["albedo"][j, i]) * f_dn[nz]
+            # ice/snow albedo where the surface is frozen
+            alb = forcing["albedo"][j, i]
+            if dynamic_albedo and state["tsurf"][j, i] < c.T_ZERO_C:
+                alb = albedo_ice
+            sw_sfc[j, i] = (1.0 - alb) * f_dn[nz]
             # reflected upward beam, diffuse path
             f_up = np.empty(nz + 1)
-            f_up[nz] = forcing["albedo"][j, i] * f_dn[nz]
+            f_up[nz] = alb * f_dn[nz]
             for k in range(nz - 1, -1, -1):
                 f_up[k] = f_up[k + 1] * np.exp(-tau_sw[k] * 1.66)
 
@@ -412,9 +432,12 @@ def radiation_np(state, grid, forcing, t, solar_constant=1365.0):
 
 
 def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
-               soil_heat_capacity=2.0e6, ocean_heat_capacity=2.0e8):
+               soil_heat_capacity=2.0e6, ocean_heat_capacity=2.0e8,
+               soil_moisture=False, soil_moist_cap=0.02):
     """Slab surface energy budget + bulk fluxes deposited in the lowest
-    layer (reference ``soil_model.py``/``srfc_main.py``), per-point loops."""
+    layer (reference ``soil_model.py``/``srfc_main.py``), per-point loops.
+    With ``soil_moisture``: land evap efficiency follows the prognostic
+    bucket fraction and evaporation dries the bucket."""
     nz, ny, nx = state["pott"].shape
     colp = state["colp"]
     d = diagnose(colp, state["pott"], forcing["hsurf"], grid)
@@ -424,6 +447,7 @@ def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
     u = state["u"].copy()
     v = state["v"].copy()
     tsurf = state["tsurf"].copy()
+    soil = state["soil_moist"].copy() if soil_moisture else None
 
     taux = np.zeros((ny, nx))
     tauy = np.zeros((ny, nx))
@@ -442,8 +466,14 @@ def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
             shflx[j, i] = rho * c.C_P * drag_coef * wind \
                 * (tsurf[j, i] - t_air)
             qsat_s = _qsat_np(tsurf[j, i], d["pvb"][nz, j, i])
-            evap[j, i] = rho * drag_coef * wind \
-                * forcing["evap_eff"][j, i] \
+            if soil_moisture:
+                if forcing["land_mask"][j, i] > 0.5:
+                    eff = min(max(soil[j, i] / soil_moist_cap, 0.0), 1.0)
+                else:
+                    eff = 1.0
+            else:
+                eff = forcing["evap_eff"][j, i]
+            evap[j, i] = rho * drag_coef * wind * eff \
                 * max(qsat_s - qv[nz - 1, j, i], 0.0)
             taux[j, i] = -rho * drag_coef * wind * u_c
             tauy[j, i] = -rho * drag_coef * wind * v_c
@@ -472,6 +502,14 @@ def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
                                                + tauy[j, i]) / m_v
     v[:, 0, :] = 0.0
     new.update(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v)
+    if soil_moisture:
+        for j in range(ny):
+            for i in range(nx):
+                if forcing["land_mask"][j, i] > 0.5:
+                    soil[j, i] = min(
+                        max(soil[j, i] - dt * evap[j, i] / c.RHO_WATER, 0.0),
+                        soil_moist_cap)
+        new.update(soil_moist=soil)
     return new
 
 
@@ -541,19 +579,26 @@ def step_full_physics(state, dt, grid, forcing, cfg, t, step_idx):
     the PRE-dynamics state) -> Matsuno dynamics with the cached POTT source
     -> surface -> turbulence -> microphysics."""
     p = cfg.physics
+    soil_on = p.surface and p.soil_moisture
     if step_idx % max(p.rad_every_steps, 1) == 0:
         rad, sw, lw = radiation_np(state, grid, forcing, t,
-                                   solar_constant=p.solar_constant)
+                                   solar_constant=p.solar_constant,
+                                   dynamic_albedo=p.dynamic_albedo,
+                                   albedo_ice=p.albedo_ice)
         state = dict(state)
         state.update(dpottdt_rad=rad, swflx_sfc=sw, lwflx_sfc=lw)
     s = step_matsuno(state, dt, grid, forcing["hsurf"], moisture=True,
                      dpottdt_src=state["dpottdt_rad"])
     s = surface_np(s, grid, forcing, dt, drag_coef=p.drag_coef,
                    soil_heat_capacity=p.soil_heat_capacity,
-                   ocean_heat_capacity=p.ocean_heat_capacity)
+                   ocean_heat_capacity=p.ocean_heat_capacity,
+                   soil_moisture=soil_on,
+                   soil_moist_cap=p.soil_moist_cap)
     s = turbulence_np(s, grid, forcing, dt, k_scalar=p.diff_coef_scalar,
                       k_momentum=p.diff_coef_momentum)
     s = microphysics_step(s, grid, forcing["hsurf"], dt,
                           qc_autoconv_time=p.qc_autoconv_time,
-                          qc_autoconv_threshold=p.qc_autoconv_threshold)
+                          qc_autoconv_threshold=p.qc_autoconv_threshold,
+                          land_mask=forcing["land_mask"] if soil_on else None,
+                          soil_moist_cap=p.soil_moist_cap)
     return s

@@ -127,10 +127,11 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
         rad_p = ((pack_radf(z2, z2, state.dpottdt_rad, bj),)
                  if with_rad else ())
         base = pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
-                         state.colp, state.tsurf, state.rain, bj)
+                         state.colp, state.tsurf, state.rain,
+                         state.soil_moist, bj)
         p = pred_k(base, *rad_p, aux2, geo_p)
         out = corr_k(p, base, *rad_p, aux2, geo_p)
-        u, v, pott, qv, qc, colp, _, _ = unpack_prog(out, nz, ny, nx)
+        u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         return state.replace(u=u, v=v, pott=pott, qv=qv, qc=qc, colp=colp)
 
     return step

@@ -79,7 +79,7 @@ def write_output_nc(path: str, state: State, grid: Grid, forcing: Forcing):
     )
     fields2 = dict(
         PSURF=grid.ptop + state.colp, COLP=state.colp, RAIN=state.rain,
-        TSURF=state.tsurf,
+        TSURF=state.tsurf, SOILMOIST=state.soil_moist,
     )
     with netcdf_file(path, "w") as f:
         nz, ny, nx = state.u.shape

@@ -36,7 +36,7 @@ ALL model fields ride in THREE supertensors (k is axis 1), so a latitude
 tile is O(1) DMA issues instead of O(#fields) — at 1 deg the per-field
 streaming variant spent most of the step issuing ~29 thin copies per tile:
 
-    PROG (NYP, K2+pad8(5*nz), NXP): [colp | tsurf | rain | 5 dead |
+    PROG (NYP, K2+pad8(5*nz), NXP): [colp | tsurf | rain | soilm | 4 dead |
                                      u(nz) | v(nz) | pott(nz) | qv | qc | pad]
     RADF (NYP, K2+pad8(nz),   NXP): [swflx_sfc | lwflx_sfc | 6 dead |
                                      dpottdt_rad(nz) | pad]
@@ -162,12 +162,13 @@ def unpack2(xp, ny: int, nx: int):
     return xp[HALO:HALO + ny, 0, GX:GX + nx]
 
 
-def pack_prog(u, v, pott, qv, qc, colp, tsurf, rain, bj: int):
+def pack_prog(u, v, pott, qv, qc, colp, tsurf, rain, soilm, bj: int):
     """Build the prognostic supertensor (NYP, prog_k(nz), NXP)."""
     nz, ny, nx = u.shape
     nyp, nxp = row_pad(ny, bj), lane_pad(nx)
-    dead_h = jnp.zeros((nyp, K2 - 3, nxp), u.dtype)
-    parts = [pack2(colp, bj), pack2(tsurf, bj), pack2(rain, bj), dead_h,
+    dead_h = jnp.zeros((nyp, K2 - 4, nxp), u.dtype)
+    parts = [pack2(colp, bj), pack2(tsurf, bj), pack2(rain, bj),
+             pack2(soilm, bj), dead_h,
              pack3(u, bj), pack3(v, bj, zero_ghost=True), pack3(pott, bj),
              pack3(qv, bj), pack3(qc, bj)]
     tail = prog_k(nz) - K2 - 5 * nz
@@ -177,11 +178,13 @@ def pack_prog(u, v, pott, qv, qc, colp, tsurf, rain, bj: int):
 
 
 def unpack_prog(prog, nz: int, ny: int, nx: int):
-    """Inverse of pack_prog -> (u, v, pott, qv, qc, colp, tsurf, rain)."""
+    """Inverse of pack_prog -> (u, v, pott, qv, qc, colp, tsurf, rain,
+    soilm)."""
     f3 = lambda k0: unpack3(prog[:, k0:k0 + nz], nz, ny, nx)
     return (f3(K2), f3(K2 + nz), f3(K2 + 2 * nz), f3(K2 + 3 * nz),
             f3(K2 + 4 * nz), unpack2(prog[:, 0:1], ny, nx),
-            unpack2(prog[:, 1:2], ny, nx), unpack2(prog[:, 2:3], ny, nx))
+            unpack2(prog[:, 1:2], ny, nx), unpack2(prog[:, 2:3], ny, nx),
+            unpack2(prog[:, 3:4], ny, nx))
 
 
 def pack_radf(swflx_sfc, lwflx_sfc, dpottdt_rad, bj: int):
@@ -387,7 +390,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
     # output supertensor fields: (name, k0, nk, zero_ghost)
     out_fields = [("colp", 0, 1, False), ("tsurf", 1, 1, False),
-                  ("rain", 2, 1, False), ("u", K2, nz, False),
+                  ("rain", 2, 1, False), ("soilm", 3, 1, False),
+                  ("u", K2, nz, False),
                   ("v", K2 + nz, nz, True), ("pott", K2 + 2 * nz, nz, False),
                   ("qv", K2 + 3 * nz, nz, False),
                   ("qc", K2 + 4 * nz, nz, False)]
@@ -699,10 +703,11 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             store("qv", qv2)
             store("qc", qc2)
             store("colp", cn_c)
-            # tsurf/rain pass through unchanged (they are advanced by the
-            # epilogue variant; the jnp physics splits handle them here)
+            # tsurf/rain/soilm pass through unchanged (they are advanced by
+            # the epilogue variant; the jnp physics splits handle them here)
             store("tsurf", upd(E[:, 1:2]))
             store("rain", upd(E[:, 2:3]))
+            store("soilm", upd(E[:, 3:4]))
         else:
             # ---------------- physics epilogue ----------------
             # surface + turbulence + microphysics on the updated fields
@@ -711,7 +716,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             # [ctr0, ctr0+bj)). u2/v2 need valid wrap columns first (their
             # ghost-column values were computed from clamp garbage).
             (w_srf, w_trb, w_mic, drag_coef, soil_cap, ocean_cap,
-             qc_tau, qc_thr, k_scalar, k_mom) = phys
+             qc_tau, qc_thr, k_scalar, k_mom, w_soil, sm_cap) = phys
             u2 = fix_ghost_cols(u2)
             v2 = fix_ghost_cols(v2)
             # pt2 feeds laterally-shifted dz/rho in the turbulence epilogue
@@ -720,6 +725,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             RF = sbuf["radf"]
             tsurf2 = upd(E[:, 1:2])[:, 0]
             rain2 = upd(E[:, 2:3])[:, 0]
+            sm2 = upd(E[:, 3:4])[:, 0]
             sw2 = upd(RF[:, 0:1])[:, 0]
             lw2 = upd(RF[:, 1:2])[:, 0]
             land2 = upd(A2[:, 1:2])[:, 0]
@@ -763,7 +769,17 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                     c.MAGNUS_A * t_c / (t_c + c.MAGNUS_B))
                 den_s = pvb_n[:, nz] - (1.0 - c.EPS_V) * esat
                 qsat_s = c.EPS_V * esat / jnp.where(den_s > 1.0, den_s, 1.0)
-                evap_f = rho * drag_coef * wind * evap2 \
+                if w_soil:
+                    # soil-hydrology evap efficiency (surface.py
+                    # evap_efficiency): land follows the bucket fraction,
+                    # ocean evaporates freely
+                    frac = relu(sm2) / sm_cap
+                    frac = jnp.where(frac < 1.0, frac, 1.0)
+                    eff = jnp.where(land2 > 0.5, frac,
+                                    jnp.ones_like(frac))
+                else:
+                    eff = evap2
+                evap_f = rho * drag_coef * wind * eff \
                     * relu(qsat_s - qv2[:, nz - 1])
                 lhflx = c.L_V * evap_f
                 taux = -rho * drag_coef * wind * u_cc
@@ -771,6 +787,11 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 heat_cap = jnp.where(land2 > 0.5, soil_cap, ocean_cap)
                 net = sw2 + lw2 - shflx - lhflx
                 tsurf2 = tsurf2 + dt * net / heat_cap
+                if w_soil:
+                    # evaporation dries the land bucket (surface.py)
+                    dr = sm2 - dt * evap_f / c.RHO_WATER
+                    dr = jnp.where(dr < sm_cap, relu(dr), sm_cap)
+                    sm2 = jnp.where(land2 > 0.5, dr, sm2)
                 dp_sfc = cn_u2[:, 0] * dsig
                 m_sfc = dp_sfc / c.G
 
@@ -854,8 +875,15 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 frac = 1.0 - float(np.exp(-dt / qc_tau))
                 to_rain = relu(qc2 - qc_thr) * frac
                 qc2 = relu(qc2 - to_rain)
-                rain2 = rain2 + jnp.sum(to_rain, axis=1) \
+                rain_inc = jnp.sum(to_rain, axis=1) \
                     * cn_u2[:, 0] * dsig / c.G
+                rain2 = rain2 + rain_inc
+                if w_soil:
+                    # rain refills the land bucket up to field capacity
+                    # (microphysics.py soil-hydrology coupling)
+                    wet = sm2 + rain_inc / c.RHO_WATER
+                    wet = jnp.where(wet < sm_cap, wet, sm_cap)
+                    sm2 = jnp.where(land2 > 0.5, wet, sm2)
 
             store("u", ctr_of_upd(u2))
             store("v", ctr_of_upd(v2))
@@ -865,6 +893,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             store("colp", ctr_of_upd(cn_c))
             store("tsurf", ctr_of_upd(tsurf2[:, None]))
             store("rain", ctr_of_upd(rain2[:, None]))
+            store("soilm", ctr_of_upd(sm2[:, None]))
 
         # ---- output DMA ----
         out_descr(i, oslot).start()
@@ -954,10 +983,10 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
 
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
         z2 = jnp.zeros_like(colp)
-        args = [pack_prog(u, v, pott, qv, qc, colp, z2, z2, bj)]
+        args = [pack_prog(u, v, pott, qv, qc, colp, z2, z2, z2, bj)]
         idx = 0
         if not same_base:
-            args.append(pack_prog(*extra[idx:idx + 6], z2, z2, bj))
+            args.append(pack_prog(*extra[idx:idx + 6], z2, z2, z2, bj))
             idx += 6
         if with_rad:
             args.append(pack_radf(z2, z2, extra[idx], bj))
@@ -965,7 +994,7 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         args.append(pack_aux2(hs, z2, z2, z2, bj))
         args.append(pack_geo(geo, bj))
         out = kern(*args)
-        u, v, pott, qv, qc, colp, _, _ = unpack_prog(out, nz, ny, nx)
+        u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         return u, v, pott, qv, qc, colp
 
     return substep

@@ -11,7 +11,7 @@ the interval physics (radiation) runs natively on packed slices.
 Layout recap (kernels/fused_substep.py module docstring): arrays are
 (NYP, K, NXP) with latitude on dim 0 (rows [HALO, HALO+ny) real, wall-ghost
 rows each side, pad rows to NYP), K sublanes holding all fields
-back-to-back (PROG: [colp|tsurf|rain|dead|u|v|pott|qv|qc]; RADF:
+back-to-back (PROG: [colp|tsurf|rain|soilm|dead|u|v|pott|qv|qc]; RADF:
 [sw|lw|dead|dpottdt_rad]; AUX2: [hsurf|land|albedo|evap|dead]), NXP lanes
 with GX periodic wrap ghost columns each side and dead padding beyond.
 Dead rows/columns/k-slots may hold garbage (even NaN); they are never read
@@ -59,6 +59,10 @@ class PackedState:
     @property
     def rain(self):
         return self.prog[:, 2:3]
+
+    @property
+    def soil_moist(self):
+        return self.prog[:, 3:4]
 
     @property
     def u(self):
@@ -125,7 +129,8 @@ def pack_full(state: State, bj: int) -> PackedState:
     nz = state.u.shape[0]
     return PackedState(
         prog=pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
-                       state.colp, state.tsurf, state.rain, bj),
+                       state.colp, state.tsurf, state.rain,
+                       state.soil_moist, bj),
         radf=pack_radf(state.swflx_sfc, state.lwflx_sfc, state.dpottdt_rad,
                        bj),
         t=state.t, step=state.step, nz=nz)
@@ -138,6 +143,7 @@ def unpack_full(ps: PackedState, template: State, nz: int, ny: int,
         pott=unpack3(ps.pott, nz, ny, nx), qv=unpack3(ps.qv, nz, ny, nx),
         qc=unpack3(ps.qc, nz, ny, nx), colp=unpack2(ps.colp, ny, nx),
         tsurf=unpack2(ps.tsurf, ny, nx), rain=unpack2(ps.rain, ny, nx),
+        soil_moist=unpack2(ps.soil_moist, ny, nx),
         dpottdt_rad=unpack3(ps.dpottdt_rad, nz, ny, nx),
         swflx_sfc=unpack2(ps.swflx_sfc, ny, nx),
         lwflx_sfc=unpack2(ps.lwflx_sfc, ny, nx),

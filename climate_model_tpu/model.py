@@ -52,7 +52,7 @@ def make_step_fn(cfg: ModelConfig) -> Callable[[State, Grid, Forcing], State]:
         if phys.turbulence:
             state = turbulence_step(state, grid, forcing, cfg, dt, press=press)
         if phys.microphysics:
-            state = microphysics_step(state, grid, forcing.hsurf, cfg, dt,
+            state = microphysics_step(state, grid, forcing, cfg, dt,
                                       press=press)
         return state.replace(t=state.t + dt, step=state.step + 1)
 
@@ -69,7 +69,8 @@ def phys_epilogue_tuple(cfg: ModelConfig):
             phys.drag_coef, phys.soil_heat_capacity,
             phys.ocean_heat_capacity, phys.qc_autoconv_time,
             phys.qc_autoconv_threshold, phys.diff_coef_scalar,
-            phys.diff_coef_momentum)
+            phys.diff_coef_momentum,
+            phys.surface and phys.soil_moisture, phys.soil_moist_cap)
 
 
 def make_packed_step_fn(cfg: ModelConfig, bj: int):

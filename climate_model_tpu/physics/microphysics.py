@@ -47,7 +47,7 @@ def saturation_adjustment(pott, qv, qc, pvtf, pair, dt, cfg: ModelConfig):
     return pott, qv, qc, to_rain
 
 
-def microphysics_step(state: State, grid: Grid, hsurf, cfg: ModelConfig,
+def microphysics_step(state: State, grid: Grid, forcing, cfg: ModelConfig,
                       dt, press=None) -> State:
     pvb, pvtf, _ = press if press is not None \
         else ops.diagnose_pressure(state.colp, grid)
@@ -56,6 +56,17 @@ def microphysics_step(state: State, grid: Grid, hsurf, cfg: ModelConfig,
         state.pott, state.qv, state.qc, pvtf, pair, dt, cfg)
     # Rain accumulates as column-integrated removed water: sum_k q * dp/g [kg m-2]
     dp = state.colp[None] * grid.dsigma[:, None, None]
-    rain = state.rain + jnp.sum(to_rain * dp, axis=0) / c.G
+    rain_inc = jnp.sum(to_rain * dp, axis=0) / c.G
+    rain = state.rain + rain_inc
+
+    # Soil hydrology: rain refills the land bucket up to field capacity
+    # (excess runs off; reference soil moisture budget [P]).
+    p = cfg.physics
+    soil_moist = state.soil_moist
+    if p.surface and p.soil_moisture:
+        wetted = jnp.minimum(soil_moist + rain_inc / c.RHO_WATER,
+                             p.soil_moist_cap)
+        soil_moist = jnp.where(forcing.land_mask > 0.5, wetted, soil_moist)
     return state.replace(pott=pott, qv=jnp.maximum(qv, 0.0),
-                         qc=jnp.maximum(qc, 0.0), rain=rain)
+                         qc=jnp.maximum(qc, 0.0), rain=rain,
+                         soil_moist=soil_moist)

@@ -67,9 +67,15 @@ def compute_radiation_packed(ps: PackedState, aux: PackedAux,
     f_dn = toa_dn * jnp.concatenate(
         [jnp.ones_like(cumtrans[:, :1]), cumtrans], axis=1)
     sw_sfc_dn = f_dn[:, -1:]
-    swflx_sfc = (1.0 - aux.albedo) * sw_sfc_dn
+    # ice/snow albedo (mirrors physics/radiation.py effective_albedo)
+    if cfg.physics.dynamic_albedo:
+        albedo = jnp.where(ps.tsurf < c.T_ZERO_C,
+                           cfg.physics.albedo_ice, aux.albedo)
+    else:
+        albedo = aux.albedo
+    swflx_sfc = (1.0 - albedo) * sw_sfc_dn
     trans_up = jnp.exp(-tau_sw * 1.66)
-    refl = aux.albedo * sw_sfc_dn
+    refl = albedo * sw_sfc_dn
     cumtrans_up = jnp.cumprod(trans_up[:, ::-1], axis=1)[:, ::-1]
     f_up = refl * jnp.concatenate(
         [cumtrans_up, jnp.ones_like(cumtrans_up[:, :1])], axis=1)

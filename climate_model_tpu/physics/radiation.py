@@ -54,6 +54,16 @@ def solar_zenith_cos(t, lat, lon):
     return jnp.maximum(mu, 0.0)
 
 
+def effective_albedo(tsurf, forcing: Forcing, cfg: ModelConfig):
+    """Surface SW albedo: the static map, raised to the ice/snow value where
+    the surface is frozen (reference surface albedo's ice/snow dependence,
+    SURVEY.md §2.1 row 17 [P])."""
+    p = cfg.physics
+    if not p.dynamic_albedo:
+        return forcing.albedo
+    return jnp.where(tsurf < c.T_ZERO_C, p.albedo_ice, forcing.albedo)
+
+
 def compute_radiation(state: State, grid: Grid, forcing: Forcing,
                       cfg: ModelConfig) -> RadiationOut:
     """One full radiation calculation (reference ``Radiation.calc_radiation``)."""
@@ -79,10 +89,11 @@ def compute_radiation(state: State, grid: Grid, forcing: Forcing,
     f_dn = toa_dn[None] * jnp.concatenate(
         [jnp.ones_like(cumtrans[:1]), cumtrans], axis=0)   # (nz+1, ny, nx)
     sw_sfc_dn = f_dn[-1]
-    swflx_sfc = (1.0 - forcing.albedo) * sw_sfc_dn
+    albedo = effective_albedo(state.tsurf, forcing, cfg)
+    swflx_sfc = (1.0 - albedo) * sw_sfc_dn
     # reflected beam travels back up with diffuse path factor 1.66
     trans_up = jnp.exp(-tau_sw * 1.66)
-    refl = forcing.albedo * sw_sfc_dn
+    refl = albedo * sw_sfc_dn
     cumtrans_up = jnp.cumprod(trans_up[::-1], axis=0)[::-1]
     f_up = refl[None] * jnp.concatenate(
         [cumtrans_up, jnp.ones_like(cumtrans_up[:1])], axis=0)

@@ -33,6 +33,19 @@ class SurfaceFluxes(NamedTuple):
     tauy: jnp.ndarray    # meridional surface stress [N m-2]
 
 
+def evap_efficiency(state: State, forcing: Forcing, cfg: ModelConfig):
+    """Evaporation efficiency 0..1. With soil hydrology on (reference
+    ``soil_model.py`` SOILEVAPITY [P]): land efficiency follows the
+    prognostic soil water fraction of field capacity; ocean evaporates
+    freely. Otherwise the static Forcing.evap_eff map."""
+    p = cfg.physics
+    if not (p.surface and p.soil_moisture):
+        return forcing.evap_eff
+    frac = jnp.clip(state.soil_moist / p.soil_moist_cap, 0.0, 1.0)
+    return jnp.where(forcing.land_mask > 0.5, frac,
+                     jnp.ones_like(frac))
+
+
 def surface_fluxes(state: State, grid: Grid, forcing: Forcing,
                    cfg: ModelConfig, press=None) -> SurfaceFluxes:
     from .thermo import qsat_water
@@ -52,7 +65,7 @@ def surface_fluxes(state: State, grid: Grid, forcing: Forcing,
     ch = p.drag_coef
     shflx = rho * c.C_P * ch * wind * (state.tsurf - t_air)
     qsat_s = qsat_water(state.tsurf, pvb[-1])
-    evap = rho * ch * wind * forcing.evap_eff \
+    evap = rho * ch * wind * evap_efficiency(state, forcing, cfg) \
         * jnp.maximum(qsat_s - state.qv[-1], 0.0)
     lhflx = c.L_V * evap
     taux = -rho * ch * wind * u_c
@@ -94,4 +107,13 @@ def surface_step(state: State, grid: Grid, forcing: Forcing,
     dv = dt * 0.5 * (bc.south_clamp(fx.tauy) + fx.tauy) / m_v
     u = state.u.at[-1].add(du)
     v = bc.enforce_v_walls(state.v.at[-1].add(dv))
-    return state.replace(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v)
+
+    # Soil hydrology: evaporation dries the land bucket (rain refills it in
+    # the microphysics split; reference soil moisture budget [P]).
+    soil_moist = state.soil_moist
+    if p.soil_moisture:
+        dried = jnp.clip(soil_moist - dt * fx.evap / c.RHO_WATER,
+                         0.0, p.soil_moist_cap)
+        soil_moist = jnp.where(forcing.land_mask > 0.5, dried, soil_moist)
+    return state.replace(tsurf=tsurf, pott=pott, qv=qv, u=u, v=v,
+                         soil_moist=soil_moist)

@@ -40,6 +40,7 @@ def _jnp_state(st, fo, cfg):
         colp=jnp.asarray(st["colp"]), pott=jnp.asarray(st["pott"]),
         qv=jnp.asarray(st["qv"]), qc=jnp.asarray(st["qc"]),
         tsurf=jnp.asarray(st["tsurf"]), rain=z2,
+        soil_moist=jnp.asarray(st["soil_moist"]),
         dpottdt_rad=z3, swflx_sfc=z2, lwflx_sfc=z2,
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32))
     forcing = Forcing(hsurf=jnp.asarray(fo["hsurf"]),

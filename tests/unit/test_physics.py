@@ -61,7 +61,7 @@ def test_microphysics_conserves_moist_energy_and_water():
     state, forcing = _jnp_state(st, fo, cfg)
     from climate_model_tpu.physics.microphysics import microphysics_step
     dt = float(grid_np.dt)
-    out = microphysics_step(state, grid, forcing.hsurf, cfg, dt)
+    out = microphysics_step(state, grid, forcing, cfg, dt)
 
     dp = np.asarray(state.colp)[None] * np.asarray(grid.dsigma)[:, None, None]
     water0 = (np.asarray(state.qv + state.qc) * dp).sum() / c.G
@@ -178,3 +178,97 @@ def test_full_physics_step_stable():
         arr = np.asarray(getattr(out, name))
         assert np.isfinite(arr).all(), name
     assert float(np.abs(np.asarray(out.u)).max()) < 100.0
+
+
+def test_soil_hydrology_budget():
+    """Prognostic soil moisture (reference ``soil_model.py`` soil water /
+    evaporation-efficiency coupling): evaporation dries the land bucket
+    and scales with its fill fraction, rain refills it up to field
+    capacity, the ocean bucket is untouched, and a dry bucket shuts land
+    evaporation off entirely."""
+    cfg = ModelConfig(
+        grid=GridConfig(nx=16, ny=10, nz=4),
+        physics=PhysicsConfig(surface=True, microphysics=True),
+        dtype="float64",
+    )
+    p = cfg.physics
+    state, forcing, grid = initialize(cfg)
+    land = np.asarray(forcing.land_mask) > 0.5
+    assert land.any() and (~land).any()
+    dt = float(grid.dt)
+    from climate_model_tpu.physics.surface import (evap_efficiency,
+                                                   surface_fluxes,
+                                                   surface_step)
+
+    # warm surface -> evaporation on; land efficiency = bucket fraction
+    state = state.replace(tsurf=state.tsurf + 10.0)
+    eff = np.asarray(evap_efficiency(state, forcing, cfg))
+    frac = np.asarray(state.soil_moist) / p.soil_moist_cap
+    np.testing.assert_allclose(eff[land], np.clip(frac, 0, 1)[land])
+    np.testing.assert_allclose(eff[~land], 1.0)
+
+    out = surface_step(state, grid, forcing, cfg, dt)
+    sm0, sm1 = np.asarray(state.soil_moist), np.asarray(out.soil_moist)
+    evap = np.asarray(surface_fluxes(state, grid, forcing, cfg).evap)
+    assert (sm1[land] <= sm0[land] + 1e-15).all()       # evap only dries
+    np.testing.assert_allclose(sm1[~land], sm0[~land])  # ocean untouched
+    np.testing.assert_allclose(                         # exact budget
+        sm1[land], np.clip(sm0 - dt * evap / c.RHO_WATER, 0,
+                           p.soil_moist_cap)[land], rtol=1e-12)
+    assert (sm1 >= 0).all() and (sm1 <= p.soil_moist_cap + 1e-15).all()
+
+    # a dry bucket shuts off land evaporation
+    dry = state.replace(soil_moist=jnp.zeros_like(state.soil_moist))
+    evap_dry = np.asarray(surface_fluxes(dry, grid, forcing, cfg).evap)
+    assert (evap_dry[land] == 0.0).all()
+    assert evap_dry[~land].max() > 0.0
+
+    # rain refills the bucket through the microphysics split
+    from climate_model_tpu.physics.microphysics import microphysics_step
+    half = state.replace(
+        soil_moist=jnp.full_like(state.soil_moist, 0.5 * p.soil_moist_cap),
+        qc=state.qc + 10.0 * p.qc_autoconv_threshold)
+    wet = microphysics_step(half, grid, forcing, cfg, dt)
+    rain_inc = np.asarray(wet.rain - half.rain)
+    assert rain_inc.max() > 0
+    np.testing.assert_allclose(
+        np.asarray(wet.soil_moist)[land],
+        np.minimum(0.5 * p.soil_moist_cap + rain_inc / c.RHO_WATER,
+                   p.soil_moist_cap)[land], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(wet.soil_moist)[~land],
+                               0.5 * p.soil_moist_cap)
+
+
+def test_dynamic_albedo_ice():
+    """Frozen surface raises SW albedo (reference ice/snow albedo): less
+    SW absorbed at the surface, more reflected to space."""
+    from climate_model_tpu.physics.radiation import compute_radiation
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=16, ny=10, nz=4),
+        physics=PhysicsConfig(radiation=True),
+        dtype="float64",
+    )
+    state, forcing, grid = initialize(cfg)
+    t = 86400.0 * 37.0 + 12.0 * 3600.0
+    # force unfrozen everywhere (default ICs freeze the mountain top)
+    warm = state.replace(t=jnp.asarray(t),
+                         tsurf=jnp.full_like(state.tsurf, 285.0))
+    cold = warm.replace(tsurf=jnp.full_like(warm.tsurf, 250.0))
+    out_w = compute_radiation(warm, grid, forcing, cfg)
+    out_c = compute_radiation(cold, grid, forcing, cfg)
+    lit = np.asarray(out_w.swflx_sfc) > 1.0
+    assert lit.any()
+    # sanity: the warm surface is unfrozen so only `cold` hits the branch
+    assert (np.asarray(warm.tsurf) >= c.T_ZERO_C - 1e-9).all()
+    assert (np.asarray(out_c.swflx_sfc)[lit]
+            < np.asarray(out_w.swflx_sfc)[lit]).all()
+    # switch off -> static albedo again (identical fluxes for cold tsurf
+    # up to the LW tsurf dependence; compare SW only)
+    cfg_off = cfg.replace(physics=PhysicsConfig(radiation=True,
+                                                dynamic_albedo=False))
+    out_off = compute_radiation(cold, grid, forcing, cfg_off)
+    np.testing.assert_allclose(np.asarray(out_off.swflx_sfc)[lit],
+                               ((1.0 - np.asarray(forcing.albedo))
+                                / (1.0 - cfg.physics.albedo_ice)
+                                * np.asarray(out_c.swflx_sfc))[lit])

@@ -37,14 +37,20 @@ def test_radiation_matches_oracle():
     state, forcing = _jnp_state(st, fo, cfg)
     # mid-afternoon mid-season time so SW, zenith angle and LW all engage
     t = 86400.0 * 37.0 + 13.5 * 3600.0
-    state = state.replace(t=jnp.asarray(t), tsurf=jnp.asarray(st["tsurf"]))
     st = dict(st)
-    st["tsurf"] = np.asarray(st["tsurf"])
+    # freeze the northern rows so the ice/snow albedo branch is exercised
+    tsurf = np.asarray(st["tsurf"]).copy()
+    tsurf[-4:] -= 30.0
+    st["tsurf"] = tsurf
+    assert (tsurf < 273.15).any() and (tsurf >= 273.15).any()
+    state = state.replace(t=jnp.asarray(t), tsurf=jnp.asarray(tsurf))
 
     out = compute_radiation(state, grid, forcing, cfg)
+    p = cfg.physics
     rad_o, sw_o, lw_o = oracle.radiation_np(
         st, grid_np, _forcing_np(fo), t,
-        solar_constant=cfg.physics.solar_constant)
+        solar_constant=p.solar_constant,
+        dynamic_albedo=p.dynamic_albedo, albedo_ice=p.albedo_ice)
 
     np.testing.assert_allclose(np.asarray(out.dpottdt_rad), rad_o,
                                rtol=1e-10, atol=1e-16, err_msg="dpottdt_rad")
@@ -53,9 +59,10 @@ def test_radiation_matches_oracle():
     np.testing.assert_allclose(np.asarray(out.lwflx_sfc), lw_o,
                                rtol=1e-10, atol=1e-10, err_msg="lwflx_sfc")
     # physical sanity the oracle agrees on: daytime SW positive somewhere,
-    # net LW cools the surface under a clear dry-ish sky
+    # net LW cools the surface under a clear dry-ish sky (on the unfrozen
+    # rows; the artificially frozen north rows emit less than they receive)
     assert sw_o.max() > 100.0
-    assert lw_o.mean() < 0.0
+    assert lw_o[:-4].mean() < 0.0
 
 
 def test_surface_matches_oracle():
@@ -76,8 +83,10 @@ def test_surface_matches_oracle():
     ref = oracle.surface_np(st, grid_np, _forcing_np(fo), dt,
                             drag_coef=p.drag_coef,
                             soil_heat_capacity=p.soil_heat_capacity,
-                            ocean_heat_capacity=p.ocean_heat_capacity)
-    for name in ("tsurf", "pott", "qv", "u", "v"):
+                            ocean_heat_capacity=p.ocean_heat_capacity,
+                            soil_moisture=p.soil_moisture,
+                            soil_moist_cap=p.soil_moist_cap)
+    for name in ("tsurf", "pott", "qv", "u", "v", "soil_moist"):
         np.testing.assert_allclose(np.asarray(getattr(out, name)), ref[name],
                                    rtol=1e-11, atol=1e-13, err_msg=name)
 
@@ -125,7 +134,8 @@ def test_full_physics_matches_oracle():
                                       t=n * dt, step_idx=n)
         state = step(state, grid, forcing)
 
-    for name in ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain"):
+    for name in ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain",
+                 "soil_moist"):
         np.testing.assert_allclose(
             np.asarray(getattr(state, name)), st[name],
             rtol=1e-8, atol=1e-11, err_msg=name)
