@@ -41,8 +41,11 @@ def packed_pressure(colp, nz: int, ptop: float):
 
 def compute_radiation_packed(ps: PackedState, aux: PackedAux,
                              cfg: ModelConfig, nz):
-    """Gray SW+LW on packed layout (mirrors physics/radiation.py; LW sweeps
-    as unrolled k loops on (NYP, 1, NXP) slices)."""
+    """Gray SW+LW on packed layout: wraps the SHARED
+    ``radiation.gray_radiation_core`` (k on axis 1) — one implementation of
+    the column math for both layouts."""
+    from .radiation import gray_radiation_core
+
     colp, pott, qv, qc = ps.colp, ps.pott, ps.qv, ps.qc
     _, pvtf, _ = packed_pressure(colp, nz, cfg.grid.ptop)
     tair = pott * pvtf
@@ -58,52 +61,19 @@ def compute_radiation_packed(ps: PackedState, aux: PackedAux,
         jnp.sin(aux.lat) * jnp.sin(decl)
         + jnp.cos(aux.lat) * jnp.cos(decl) * jnp.cos(hour_angle), 0.0)
 
-    s0 = cfg.physics.solar_constant
-    toa_dn = s0 * mu                                  # (NYP, 1, NXP)
+    toa_dn = cfg.physics.solar_constant * mu          # (NYP, 1, NXP)
     inv_mu = 1.0 / jnp.maximum(mu, 0.05)
-    tau_sw = (K_SW_QV * qv + K_SW_DRY) * mass
-    trans_dn = jnp.exp(-tau_sw * inv_mu)
-    cumtrans = jnp.cumprod(trans_dn, axis=1)
-    f_dn = toa_dn * jnp.concatenate(
-        [jnp.ones_like(cumtrans[:, :1]), cumtrans], axis=1)
-    sw_sfc_dn = f_dn[:, -1:]
     # ice/snow albedo (mirrors physics/radiation.py effective_albedo)
     if cfg.physics.dynamic_albedo:
         albedo = jnp.where(ps.tsurf < c.T_ZERO_C,
                            cfg.physics.albedo_ice, aux.albedo)
     else:
         albedo = aux.albedo
-    swflx_sfc = (1.0 - albedo) * sw_sfc_dn
-    trans_up = jnp.exp(-tau_sw * 1.66)
-    refl = albedo * sw_sfc_dn
-    cumtrans_up = jnp.cumprod(trans_up[:, ::-1], axis=1)[:, ::-1]
-    f_up = refl * jnp.concatenate(
-        [cumtrans_up, jnp.ones_like(cumtrans_up[:, :1])], axis=1)
-    abs_sw = (f_dn[:, :-1] - f_dn[:, 1:]) + (f_up[:, 1:] - f_up[:, :-1])
-    dtdt_sw = abs_sw * c.G / (c.C_P * dp)
-
-    eps = 1.0 - jnp.exp(-1.66 * (K_LW_QV * qv + K_LW_DRY + K_LW_QC * qc)
-                        * mass)
-    b = c.SIGMA_SB * tair ** 4
-    # downward sweep (unrolled: nz slices of (NYP, 1, NXP))
-    d = jnp.zeros_like(ps.colp)
-    f_dn_lw = [d]
-    for k in range(nz):
-        d = d * (1.0 - eps[:, k:k + 1]) + eps[:, k:k + 1] * b[:, k:k + 1]
-        f_dn_lw.append(d)
-    f_dn_lw = jnp.concatenate(f_dn_lw, axis=1)        # (NYP, nz+1, NXP)
     b_sfc = c.SIGMA_SB * ps.tsurf ** 4
-    up = b_sfc
-    f_up_lw = [up]
-    for k in range(nz - 1, -1, -1):
-        up = up * (1.0 - eps[:, k:k + 1]) + eps[:, k:k + 1] * b[:, k:k + 1]
-        f_up_lw.append(up)
-    f_up_lw = jnp.concatenate(f_up_lw[::-1], axis=1)
 
-    net_up = f_up_lw - f_dn_lw
-    dtdt_lw = (net_up[:, 1:] - net_up[:, :-1]) * c.G / (c.C_P * dp)
-    lwflx_sfc = f_dn_lw[:, -1:] - b_sfc
-    dpottdt_rad = (dtdt_sw + dtdt_lw) / pvtf
+    heat, swflx_sfc, lwflx_sfc, _, _ = gray_radiation_core(
+        1, nz, mass, dp, tair, qv, qc, b_sfc, albedo, toa_dn, inv_mu)
+    dpottdt_rad = heat / pvtf
 
     m = aux.valid
     return (dpottdt_rad * m, swflx_sfc * m, lwflx_sfc * m)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import constants as c
@@ -54,6 +55,78 @@ def solar_zenith_cos(t, lat, lon):
     return jnp.maximum(mu, 0.0)
 
 
+def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
+                        albedo, toa_dn, inv_mu):
+    """Gray-gas SW + LW column radiation, generic over the level axis.
+
+    ONE implementation of the reference ``shortwave.py``/``longwave.py``
+    math shared by the standard layout (``compute_radiation``, k on axis 0)
+    and the packed supertensor layout (``physics/packed.py``, k on axis 1)
+    so the two cannot drift. Array conventions: k-extent arrays carry nz
+    levels on axis ``kax``; per-column arrays (``b_sfc``, ``albedo``,
+    ``toa_dn``, ``inv_mu``) carry a singleton on ``kax``. Returns
+    ``(heat, swflx_sfc, lwflx_sfc, f_up_toa, olr)`` where ``heat`` is the
+    layer heating dT/dt [K s-1] (divide by PVTF for dPOTTdt).
+
+    The LW sweeps are unrolled python loops over nz slices (identical
+    float-op sequence to a ``lax.scan``; nz <= 32 so trace size is fine and
+    the packed layout cannot scan over a non-leading axis without
+    transposes)."""
+    import functools
+
+    cat = functools.partial(jnp.concatenate, axis=kax)
+    sl = lambda x, lo, hi: jax.lax.slice_in_dim(x, lo, hi, axis=kax)
+
+    # ---- shortwave: Beer-Lambert down-beam, albedo-reflected up-beam ----
+    tau_sw = (K_SW_QV * qv + K_SW_DRY) * mass
+    trans_dn = jnp.exp(-tau_sw * inv_mu)
+    cumtrans = jnp.cumprod(trans_dn, axis=kax)
+    ones = jnp.ones_like(sl(cumtrans, 0, 1))
+    f_dn = toa_dn * cat([ones, cumtrans])                   # borders 0..nz
+    sw_sfc_dn = sl(f_dn, nz, nz + 1)
+    swflx_sfc = (1.0 - albedo) * sw_sfc_dn
+    # reflected beam travels back up with diffuse path factor 1.66
+    trans_up = jnp.exp(-tau_sw * 1.66)
+    refl = albedo * sw_sfc_dn
+    cumtrans_up = jnp.flip(jnp.cumprod(jnp.flip(trans_up, kax), axis=kax),
+                           kax)
+    f_up = refl * cat([cumtrans_up, ones])
+    # net SW absorbed per layer (down-beam loss + up-beam loss)
+    abs_sw = (sl(f_dn, 0, nz) - sl(f_dn, 1, nz + 1)) \
+        + (sl(f_up, 1, nz + 1) - sl(f_up, 0, nz))
+    dtdt_sw = abs_sw * c.G / (c.C_P * dp)
+
+    # ---- longwave (emissivity exchange, diffuse path factor 1.66) ----
+    eps = 1.0 - jnp.exp(-1.66 * (K_LW_QV * qv + K_LW_DRY + K_LW_QC * qc)
+                        * mass)
+    b = c.SIGMA_SB * tair ** 4
+    # downward sweep: D[0] = 0; D[k+1] = D[k]*(1-eps_k) + eps_k*B_k
+    d = jnp.zeros_like(b_sfc)
+    f_dn_lw = [d]
+    for k in range(nz):
+        e, bb = sl(eps, k, k + 1), sl(b, k, k + 1)
+        d = d * (1.0 - e) + e * bb
+        f_dn_lw.append(d)
+    f_dn_lw = cat(f_dn_lw)                                  # borders 0..nz
+    # upward sweep from the (emissivity-1) surface at tsurf
+    up = b_sfc
+    f_up_lw = [up]
+    for k in range(nz - 1, -1, -1):
+        e, bb = sl(eps, k, k + 1), sl(b, k, k + 1)
+        up = up * (1.0 - e) + e * bb
+        f_up_lw.append(up)
+    f_up_lw = cat(f_up_lw[::-1])
+
+    net_up = f_up_lw - f_dn_lw                              # borders 0..nz
+    # layer k gains net_up[k+1] - net_up[k]
+    dtdt_lw = (sl(net_up, 1, nz + 1) - sl(net_up, 0, nz)) \
+        * c.G / (c.C_P * dp)
+
+    lwflx_sfc = sl(f_dn_lw, nz, nz + 1) - b_sfc
+    return (dtdt_sw + dtdt_lw, swflx_sfc, lwflx_sfc, sl(f_up, 0, 1),
+            sl(net_up, 0, 1))
+
+
 def effective_albedo(tsurf, forcing: Forcing, cfg: ModelConfig):
     """Surface SW albedo: the static map, raised to the ice/snow value where
     the surface is frozen (reference surface albedo's ice/snow dependence,
@@ -66,79 +139,32 @@ def effective_albedo(tsurf, forcing: Forcing, cfg: ModelConfig):
 
 def compute_radiation(state: State, grid: Grid, forcing: Forcing,
                       cfg: ModelConfig) -> RadiationOut:
-    """One full radiation calculation (reference ``Radiation.calc_radiation``)."""
+    """One full radiation calculation (reference ``Radiation.calc_radiation``).
+
+    Standard-layout wrapper around ``gray_radiation_core`` (k on axis 0);
+    the packed supertensor layout wraps the same core in physics/packed.py."""
     colp, pott, qv, qc = state.colp, state.pott, state.qv, state.qc
     _, pvtf, _ = ops.diagnose_pressure(colp, grid)
     tair = pott * pvtf
     dp = colp[None] * grid.dsigma[:, None, None]          # layer mass * g
     mass = dp / c.G                                       # [kg m-2]
 
-    # ---- shortwave ----
     lat2 = grid.lat[:, None]
     lon2 = grid.lon[None, :]
     mu = solar_zenith_cos(state.t, lat2, lon2)            # (ny, nx)
-    s0 = cfg.physics.solar_constant
-    toa_dn = s0 * mu
-    # slant optical depth per layer; 1/mu path amplification (capped for
-    # grazing sun to avoid overflow at mu -> 0; flux -> 0 there anyway)
+    toa_dn = cfg.physics.solar_constant * mu
+    # slant optical depth path amplification 1/mu (capped for grazing sun
+    # to avoid overflow at mu -> 0; flux -> 0 there anyway)
     inv_mu = 1.0 / jnp.maximum(mu, 0.05)
-    tau_sw = (K_SW_QV * qv + K_SW_DRY) * mass
-    trans_dn = jnp.exp(-tau_sw * inv_mu[None])
-    # downward flux at borders 0..nz: cumulative transmission
-    cumtrans = jnp.cumprod(trans_dn, axis=0)
-    f_dn = toa_dn[None] * jnp.concatenate(
-        [jnp.ones_like(cumtrans[:1]), cumtrans], axis=0)   # (nz+1, ny, nx)
-    sw_sfc_dn = f_dn[-1]
     albedo = effective_albedo(state.tsurf, forcing, cfg)
-    swflx_sfc = (1.0 - albedo) * sw_sfc_dn
-    # reflected beam travels back up with diffuse path factor 1.66
-    trans_up = jnp.exp(-tau_sw * 1.66)
-    refl = albedo * sw_sfc_dn
-    cumtrans_up = jnp.cumprod(trans_up[::-1], axis=0)[::-1]
-    f_up = refl[None] * jnp.concatenate(
-        [cumtrans_up, jnp.ones_like(cumtrans_up[:1])], axis=0)
-    # net SW absorbed per layer (down-beam loss + up-beam loss)
-    abs_sw = (f_dn[:-1] - f_dn[1:]) + (f_up[1:] - f_up[:-1])
-    dtdt_sw = abs_sw * c.G / (c.C_P * dp)
-
-    # ---- longwave (emissivity exchange, diffuse path factor 1.66) ----
-    eps = 1.0 - jnp.exp(-1.66 * (K_LW_QV * qv + K_LW_DRY + K_LW_QC * qc) * mass)
-    b = c.SIGMA_SB * tair ** 4
-
-    # Downward sweep: D[0] = 0; D[k+1] = D[k]*(1-eps_k) + eps_k*B_k.
-    # Expressed as an associative scan-free cumulative form via lax.scan over
-    # nz (nz is small; the vertical loop stays on-chip).
-    import jax
-
-    def dn_body(d, x):
-        e, bb = x
-        d = d * (1.0 - e) + e * bb
-        return d, d
-
-    zero2 = jnp.zeros_like(b[0])
-    _, d_rest = jax.lax.scan(dn_body, zero2, (eps, b))
-    f_dn_lw = jnp.concatenate([zero2[None], d_rest], axis=0)   # (nz+1, ny, nx)
-
-    # Upward sweep from the surface (emissivity-1 surface at tsurf).
     b_sfc = c.SIGMA_SB * state.tsurf ** 4
 
-    def up_body(u, x):
-        e, bb = x
-        u = u * (1.0 - e) + e * bb
-        return u, u
-
-    _, u_rest = jax.lax.scan(up_body, b_sfc, (eps[::-1], b[::-1]))
-    f_up_lw = jnp.concatenate([b_sfc[None], u_rest], axis=0)[::-1]
-
-    net_up = f_up_lw - f_dn_lw                                 # (nz+1, ny, nx)
-    # layer k gains net_up[k+1] - net_up[k]
-    dtdt_lw = (net_up[1:] - net_up[:-1]) * c.G / (c.C_P * dp)
-
-    lwflx_sfc = f_dn_lw[-1] - b_sfc
-    dpottdt_rad = (dtdt_sw + dtdt_lw) / pvtf
-    return RadiationOut(dpottdt_rad=dpottdt_rad, swflx_sfc=swflx_sfc,
-                        lwflx_sfc=lwflx_sfc,
-                        swflx_toa=toa_dn - f_up[0], olr=net_up[0])
+    heat, swflx_sfc, lwflx_sfc, f_up_toa, olr = gray_radiation_core(
+        0, grid.nz, mass, dp, tair, qv, qc, b_sfc[None], albedo[None],
+        toa_dn[None], inv_mu[None])
+    return RadiationOut(dpottdt_rad=heat / pvtf, swflx_sfc=swflx_sfc[0],
+                        lwflx_sfc=lwflx_sfc[0],
+                        swflx_toa=toa_dn - f_up_toa[0], olr=olr[0])
 
 
 def radiation_step(state: State, grid: Grid, forcing: Forcing,
