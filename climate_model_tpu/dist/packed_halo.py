@@ -26,11 +26,16 @@ the packed fast path: communication per substep is exactly the HALO/HALO_N
 ghost rows and GX ghost columns of each supertensor, riding ICI inside a
 slice and DCN across hosts.
 
-Numerical note: sharded == unsharded holds to ~1e-9 (fp64, few steps), not
-bitwise — the kernel's tile-seam halo clamp produces O(1e-10) differences
-in second-order surface-drag terms at tile/shard boundaries (see the probe
-history in docs/STATUS.md); this is far below fp32 roundoff on the
-production path.
+Numerical note: the answer is BITWISE invariant to the shard count and to
+the kernel tile height (HALO=3 covers the physics epilogue's full south
+stencil chain, GX=3 the lon lane chain, and the single-device packed path
+runs the same wall_mask kernel program — see the HALO comment in
+kernels/fused_substep.py). Two residual ulp-level caveats, both
+XLA-program-level (FMA/fusion differences between distinct compiled
+programs), not seam handling: (a) lon-sharded runs use the wrap_lon=False
+kernel variant and differ from the single-device run by ~1 ulp/step;
+(b) the halo-overlap schedule's seam-strip kernels are separate programs
+and differ from the blocking schedule at the same level.
 """
 
 from __future__ import annotations

@@ -26,7 +26,7 @@ The kernel therefore runs on a packed layout
     packed[j, k, c] , shape (NYP, K, NXP)        (latitude is dim 0!)
 
 with NXP = ceil((nx + 4)/128)*128 lanes: columns [GX, GX+nx) hold longitudes
-0..nx-1, columns [0, GX) and [GX+nx, 2*GX+nx) hold the periodic wrap (GX=2
+0..nx-1, columns [0, GX) and [GX+nx, 2*GX+nx) hold the periodic wrap (GX=3
 ghost columns each side — the lon seam becomes a static lane shift, no roll),
 the rest is dead padding. Rows: [2, 2+ny) are the physical latitudes with
 2 wall-ghost rows on each side (edge clamp; zeros for v) and optional dead
@@ -48,9 +48,11 @@ sublane window: the corrector streams PROG's 2-D head at the full stencil
 row window but the 3-D base fields — consumed only at the proceed stage —
 at just the update rows.)
 
-Latitude tiles of BJ rows stream through VMEM with a 2-row halo window
-(halo 2, not 1, because COLP_new and WWIND are tile-local intermediates that
-need their own 1-row halo); the eval supertensor and the output are
+Latitude tiles of BJ rows stream through VMEM with a 3-row south halo
+window (halo > 1 because COLP_new and WWIND are tile-local intermediates
+with their own 1-row halo, and the physics epilogue consumes updated fields
+one halo row deep — see the HALO constant's comment for the exact chain);
+the eval supertensor and the output are
 double-buffered (pallas_guide 'Patterns: Double Buffering'), corrector base
 streams are single-buffered with deferred waits so their DMA overlaps the
 tendency compute. The kernel maintains the ghost columns and wall-ghost rows
@@ -59,7 +61,7 @@ of its outputs, so packed substeps chain without re-packing; pack/unpack
 
 Scoped VMEM is raised via CompilerParams.vmem_limit_bytes
 (CLIMATE_TPU_VMEM_LIMIT_MB, default 100 of the v5e's 128 MiB) so tiles can
-be tall: input halo re-read amplification is (BJ+5)/BJ, i.e. 1.25 at BJ=20
+be tall: input halo re-read amplification is (BJ+6)/BJ, i.e. 1.3 at BJ=20
 vs 2.25 at the BJ=4 the old 16 MiB default forced.
 
 The jnp operators in dycore/operators.py are the numerical oracle for this
@@ -82,10 +84,22 @@ from ..core import constants as c
 GEO_FIELDS = ("area", "area_v", "dx", "dxs", "corf", "corf_v",
               "tan_lat", "tan_lat_v")
 NGEO = len(GEO_FIELDS)
-HALO = 2          # south row-halo (and ghost-row offset of the packed rows)
+HALO = 3          # south row-halo (and ghost-row offset of the packed rows).
+                  # 3, not 2: the physics epilogue consumes updated fields at
+                  # the tile's south halo row, whose v-momentum chain reaches
+                  # ce three rows south (tauy[g-1] <- v2[g-1] <- fyc_v[g-2]
+                  # <- vflx[g-2] <- colp_v[g-2] <- ce[g-3]); with a 2-row
+                  # halo the _s clamp at the window edge injected ~1e-13
+                  # seam noise into the 2nd-order drag terms. 3 rows make
+                  # every halo value the epilogue reads exact, so tile
+                  # height, shard count, and overlap schedule are all
+                  # bitwise-invariant.
 HALO_N = 3        # north row-halo: +1 so the physics epilogue can read the
                   # north neighbor of updated fields (surface wind average)
-GX = 2            # periodic ghost columns each side
+GX = 3            # periodic ghost columns each side (3 for the same lane
+                  # chain in sharded-lon mode: taux[lane-1] <- u2 <- uflx <-
+                  # colp_u <- ce two lanes west of the innermost ghost; lanes
+                  # are 128-padded so the extra column is free)
 K2 = 8            # head slots of each supertensor (2-D fields + dead pad)
 
 

@@ -161,10 +161,19 @@ def pack_aux(forcing: Forcing, grid, bj: int, dtype) -> PackedAux:
          jnp.zeros((nxp - nx - 2 * GX,), grid.lon.dtype)])[None, None, :]
     valid = jnp.zeros((nyp, 1, nxp), dtype)
     valid = valid.at[HALO:HALO + ny, :, GX:GX + nx].set(1.0)
-    return PackedAux(
-        aux2=pack_aux2(forcing.hsurf, forcing.land_mask, forcing.albedo,
-                       forcing.evap_eff, bj),
-        geo=geo, lat=lat, lon=lon, valid=valid)
+    aux2 = pack_aux2(forcing.hsurf, forcing.land_mask, forcing.albedo,
+                     forcing.evap_eff, bj)
+    # v polar-wall mask into AUX2 slot 4 (wall_mask=True kernels): 1 on
+    # interior v rows, 0 on the wall rows. Single-shard form of the
+    # shard-aware mask in dist/packed_halo.py (which overwrites this slot),
+    # so the single-device kernel runs the SAME program as the lat-sharded
+    # one -> sharded == unsharded is bitwise by construction.
+    grow = jnp.arange(nyp) - HALO
+    mask = ((grow > 0) & (grow < ny)).astype(dtype)[:, None, None]
+    aux2 = jnp.concatenate(
+        [aux2[:, :4], jnp.broadcast_to(mask, (nyp, 1, nxp)), aux2[:, 5:]],
+        axis=1)
+    return PackedAux(aux2=aux2, geo=geo, lat=lat, lon=lon, valid=valid)
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,10 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
               diff_uv=num.diff_uv, diff_pott=num.diff_pott,
               diff_moist=num.diff_moist,
               dtype=jnp.dtype(cfg.dtype),
-              interpret=jax.default_backend() == "cpu")
+              interpret=jax.default_backend() == "cpu",
+              # same kernel program as the lat-sharded path (mask in AUX2
+              # slot 4, built by pack_aux) -> sharded == unsharded bitwise
+              wall_mask=True)
     pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
     corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
                                        phys=phys_tuple, **kw)

@@ -5,10 +5,11 @@ shard-local packed supertensors + ppermute ghost refresh
 (dist/packed_halo.py). The sharded run must reproduce the single-device
 packed run (which is itself oracle-tested via the jnp operators).
 
-Tolerance note: equality is ~1e-9 (fp64, few steps), not bitwise — tile/
-shard seams differ in second-order surface-drag terms through the kernel's
-halo-window clamp (documented in dist/packed_halo.py); far below fp32
-roundoff on the production path.
+Tolerance note (see dist/packed_halo.py): shard COUNT never changes the
+answer (bitwise — asserted below); sharded-vs-unsharded is bitwise for
+lat-only meshes up to XLA program-level FMA/fusion ulps, and lon-sharded
+runs (the wrap_lon=False kernel variant, a distinct program) agree with
+the single-device run to ~1 ulp/step.
 """
 
 import jax
@@ -27,7 +28,7 @@ pytestmark = pytest.mark.skipif(
 
 N_STEPS = 4
 FIELDS = ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain",
-          "dpottdt_rad", "swflx_sfc", "lwflx_sfc")
+          "soil_moist", "dpottdt_rad", "swflx_sfc", "lwflx_sfc")
 
 
 def _cfg(physics=True):
@@ -53,8 +54,30 @@ def test_packed_sharded_matches_single_device(mesh_shape, physics):
     for name in FIELDS:
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
-            rtol=1e-7, atol=1e-8, err_msg=f"{name} mesh={mesh_shape}")
+            rtol=1e-12, atol=1e-13, err_msg=f"{name} mesh={mesh_shape}")
     assert int(out.step) == N_STEPS
+
+
+@pytest.mark.parametrize("mesh_a,mesh_b", [((2, 1), (4, 1)),
+                                           ((2, 2), (4, 2)),
+                                           ((2, 2), (1, 4))])
+def test_shard_count_invariance_bitwise(mesh_a, mesh_b):
+    """Changing the shard count must not change the answer AT ALL: HALO=3/
+    GX=3 cover the physics epilogue's full halo stencil chains, so every
+    mesh running the same kernel-variant family is bitwise identical."""
+    cfg = _cfg(True)
+    state, forcing, grid = initialize(cfg)
+    outs = []
+    for ml, mlon in (mesh_a, mesh_b):
+        mesh = make_mesh(mesh_lat=ml, mesh_lon=mlon)
+        run = make_packed_sharded_runner(cfg, mesh, grid, n_steps=N_STEPS)
+        s, g, f = shard_inputs(mesh, state, grid, forcing)
+        outs.append(jax.block_until_ready(run(s, g, f)))
+    for name in FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs[0], name)),
+            np.asarray(getattr(outs[1], name)),
+            err_msg=f"{name} {mesh_a} vs {mesh_b}")
 
 
 def _overlap_cfg(cfg, mesh_lat, mesh_lon):
@@ -82,18 +105,16 @@ def test_packed_sharded_overlap_matches_single_device(mesh_shape, physics):
     for name in FIELDS:
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
-            rtol=1e-7, atol=1e-8, err_msg=f"{name} mesh={mesh_shape}")
+            rtol=1e-12, atol=1e-13, err_msg=f"{name} mesh={mesh_shape}")
     assert int(out.step) == N_STEPS
 
 
 def test_overlap_matches_blocking_schedule():
     """Overlapped vs blocking schedule on the same mesh. Not bitwise: the
-    seam-strip kernels see different tile windows than the main kernel's
-    edge tiles, and the documented halo-window clamp (module docstring of
-    dist/packed_halo.py) perturbs 2nd-order drag terms at the 1e-11 level
-    per substep, amplified a few decades by 4 steps of advection; the
-    schedules must agree within the same caveat budget as
-    sharded-vs-unsharded (far below fp32 roundoff)."""
+    seam-strip kernels are distinct compiled programs from the main kernel,
+    so XLA FMA/fusion choices differ at the ulp level per substep
+    (dist/packed_halo.py numerical note), amplified a few decades by 4
+    steps of advection."""
     cfg = _cfg(True)
     state, forcing, grid = initialize(cfg)
     mesh = make_mesh(mesh_lat=2, mesh_lon=2)
@@ -107,7 +128,7 @@ def test_overlap_matches_blocking_schedule():
     for name in FIELDS:
         np.testing.assert_allclose(
             np.asarray(getattr(out_o, name)), np.asarray(getattr(out_b, name)),
-            rtol=1e-7, atol=1e-8, err_msg=name)
+            rtol=1e-12, atol=1e-13, err_msg=name)
 
 
 def test_overlap_refuses_thin_shards():
