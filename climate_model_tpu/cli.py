@@ -51,6 +51,10 @@ def build_config(args) -> "ModelConfig":
         cfg = cfg.replace(dtype=args.dtype)
     if args.days is not None:
         cfg = cfg.replace(sim_days=args.days)
+    if getattr(args, "out_every_hours", None) is not None:
+        cfg = cfg.replace(out_every_hours=args.out_every_hours)
+    if getattr(args, "restart_every_days", None) is not None:
+        cfg = cfg.replace(restart_every_days=args.restart_every_days)
     if getattr(args, "backend_override", None):
         cfg = cfg.replace(backend=args.backend_override)
     import dataclasses as _dc
@@ -244,6 +248,10 @@ def main(argv=None) -> int:
     pr.add_argument("--days", type=float, default=None)
     pr.add_argument("--dtype", default=None)
     pr.add_argument("--out-dir", default=None)
+    pr.add_argument("--out-every-hours", type=float, default=None,
+                    help="NetCDF output cadence (i_out_nth_hour analogue)")
+    pr.add_argument("--restart-every-days", type=float, default=None,
+                    help="checkpoint cadence (i_restart_nth_day analogue)")
     pr.add_argument("--restart-from", default=None)
     pr.add_argument("--backend", dest="backend_override", default=None,
                     choices=["jnp", "pallas"])

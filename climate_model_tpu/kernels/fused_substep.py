@@ -339,7 +339,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               diff_moist: float = 0.0, dtype=jnp.float32,
                               interpret: bool = False, phys: tuple = None,
                               wrap_lon: bool = True,
-                              wall_mask: bool = False):
+                              wall_mask: bool = False,
+                              debug_slots: bool = False):
     """Fused substep on PACKED supertensors. Returns
 
         ``f(prog_eval[, prog_base][, radf], aux2, geo) -> prog_out``
@@ -469,7 +470,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                     in_descr(s, i, 0).wait()
 
         slot = i % 2
-        sbuf = {st[0]: bufs[s][slot % st[5]] for s, st in enumerate(streams)}
+        # NOTE: indexing a VMEM buffer LOADS it at this trace point, so the
+        # late-waited base3d stream must NOT be read here — loading before
+        # wait_late() races its in-flight DMA on real hardware (observed:
+        # stale VMEM from the previous kernel read as u/v base values;
+        # interpret mode's synchronous copies hide the hazard entirely).
+        sbuf = {st[0]: bufs[s][slot % st[5]] for s, st in enumerate(streams)
+                if st[0] not in late_wait}
 
         E = sbuf["eval"]                                    # (w, kp, nxp)
         ce = E[:, 0:1]
@@ -480,13 +487,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         if same_base:
             cb = ce
             ub, vb = u, v
-            B = None
         else:
             cb = sbuf["base2d"][:, 0:1]                     # (w, 1, nxp)
-            # base body buffer holds the k-window [K2, kp) at the nu
-            # update rows: local k offsets drop the K2 head
-            B = sbuf["base3d"]
-            ub, vb = B[:, 0:nz], B[:, nz:2 * nz]
+            # base3d (ub/vb/base scalars; k-window [K2, kp) at the nu update
+            # rows) is loaded ONLY after wait_late() below — see the sbuf
+            # comment (DMA race otherwise)
+            b3_idx = next(s for s, st in enumerate(streams)
+                          if st[0] == "base3d")
         A2 = sbuf["aux2"]
         hs = A2[:, 0:1]
         rad = sbuf["radf"][:, K2:K2 + nz] if with_rad else None
@@ -628,6 +635,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
         if not same_base:
             wait_late()
+            # the base3d DMA has landed: safe to load the buffer now
+            B = bufs[b3_idx][0]
+            ub, vb = B[:, 0:nz], B[:, nz:2 * nz]
         QB = Q if same_base else B[:, 2 * nz:5 * nz]
         Qn = (upd_b(QB) * cb_c + dt * upd(dqdt)) / cn_c
         pt2 = Qn[:, :nz]
@@ -710,6 +720,15 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             apply_wall = lambda vv: jnp.where(v_wall, jnp.zeros_like(vv), vv)
         v2 = apply_wall(v2)
 
+        if debug_slots and not with_phys:
+            # diagnostics channel: write chosen intermediates into the dead
+            # head slots 4..7 so a host-side probe can compare them against
+            # jnp recomputations (hardware debugging; no effect on results)
+            obuf[oslot, :, 4:5] = upd(u[:, nz - 1:nz])       # raw input DMA
+            obuf[oslot, :, 5:6] = upd(pvtf3[:, nz - 1:nz])   # sig_b+pow chain
+            obuf[oslot, :, 6:7] = upd(phi3[:, 0:1])          # scan chain
+            obuf[oslot, :, 7:8] = jnp.broadcast_to(
+                sig_b[:, nz:nz + 1], (nu, 1, nxp)).astype(dtype)  # iota
         if not with_phys:
             store("u", u2)
             store("v", v2)
@@ -986,14 +1005,18 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
                        same_base: bool, dt: float, dy: float, ptop: float,
                        with_rad: bool, diff_uv: float = 0.0,
                        diff_pott: float = 0.0, diff_moist: float = 0.0,
-                       dtype=jnp.float32, interpret: bool = False):
+                       dtype=jnp.float32, interpret: bool = False,
+                       debug_slots: bool = False):
     """Standard-layout wrapper (packs inputs, unpacks outputs): same
     signature as the packed kernel but on (nz, ny, nx)/(ny, nx) arrays —
-    used by unit tests; the stepper chains packed substeps directly."""
+    used by unit tests; the stepper chains packed substeps directly.
+    ``debug_slots`` also returns the 4 diagnostics slots (hardware
+    debugging channel; see the kernel body)."""
     kern = make_fused_substep_packed(
         nz, ny, nx, bj=bj, same_base=same_base, dt=dt, dy=dy, ptop=ptop,
         with_rad=with_rad, diff_uv=diff_uv, diff_pott=diff_pott,
-        diff_moist=diff_moist, dtype=dtype, interpret=interpret)
+        diff_moist=diff_moist, dtype=dtype, interpret=interpret,
+        debug_slots=debug_slots)
 
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
         z2 = jnp.zeros_like(colp)
@@ -1009,6 +1032,9 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         args.append(pack_geo(geo, bj))
         out = kern(*args)
         u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
+        if debug_slots:
+            dbg = tuple(unpack2(out[:, k:k + 1], ny, nx) for k in (4, 5, 6, 7))
+            return (u, v, pott, qv, qc, colp) + dbg
         return u, v, pott, qv, qc, colp
 
     return substep
