@@ -220,6 +220,23 @@ def cmd_bench(args) -> int:
             from .core.config import baseline_config
             cfg = baseline_config(args.baseline)
         result = measure_scaling(cfg, steps=args.steps)
+    elif args.stability:
+        import dataclasses as _dc
+
+        from .bench.stability import probe_stability
+        from .core.config import baseline_config
+        cfg = build_config(args) if args.config else baseline_config(
+            args.baseline)
+        if args.dtype:
+            cfg = cfg.replace(dtype=args.dtype)
+        if args.diff is not None:
+            cfg = cfg.replace(numerics=_dc.replace(
+                cfg.numerics, diff_uv=args.diff, diff_pott=args.diff,
+                diff_moist=args.diff))
+        if args.backend:
+            cfg = cfg.replace(backend=args.backend)
+        result = probe_stability(cfg, steps=args.steps, chunk=args.chunk)
+        result.pop("trajectory", None)   # keep the JSON line one line
     else:
         from .bench.throughput import run_benchmark
         result = run_benchmark(baseline=args.baseline, steps=args.steps,
@@ -277,6 +294,13 @@ def main(argv=None) -> int:
                     help="measure 1-device vs full-mesh scaling efficiency")
     pb.add_argument("--micro", action="store_true",
                     help="per-kernel scan-chained micro-benchmark")
+    pb.add_argument("--stability", action="store_true",
+                    help="long-run blow-up probe (max-wind trajectory)")
+    pb.add_argument("--diff", type=float, default=None,
+                    help="override all horizontal-diffusion coefficients "
+                         "(stability probe)")
+    pb.add_argument("--chunk", type=int, default=100,
+                    help="steps per diagnostics fetch (stability probe)")
     pb.add_argument("--baseline", type=int, default=3)
     pb.add_argument("--steps", type=int, default=50)
     pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])

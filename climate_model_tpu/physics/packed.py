@@ -25,7 +25,7 @@ from ..core import constants as c
 from ..core.config import ModelConfig
 from ..kernels.fused_substep import K2, radf_k
 from ..kernels.packing import PackedAux, PackedState
-from .radiation import DAY0, K_LW_DRY, K_LW_QC, K_LW_QV, K_SW_DRY, K_SW_QV
+from .radiation import gray_radiation_core, solar_forcing
 
 
 def packed_pressure(colp, nz: int, ptop: float):
@@ -42,10 +42,9 @@ def packed_pressure(colp, nz: int, ptop: float):
 def compute_radiation_packed(ps: PackedState, aux: PackedAux,
                              cfg: ModelConfig, nz):
     """Gray SW+LW on packed layout: wraps the SHARED
-    ``radiation.gray_radiation_core`` (k on axis 1) — one implementation of
-    the column math for both layouts."""
-    from .radiation import gray_radiation_core
-
+    ``radiation.gray_radiation_core`` + ``radiation.solar_forcing`` (k on
+    axis 1) — one implementation of the column math and of the solar
+    geometry / ice-albedo math for both layouts."""
     colp, pott, qv, qc = ps.colp, ps.pott, ps.qv, ps.qc
     _, pvtf, _ = packed_pressure(colp, nz, cfg.grid.ptop)
     tair = pott * pvtf
@@ -53,22 +52,8 @@ def compute_radiation_packed(ps: PackedState, aux: PackedAux,
     dp = colp * dsig
     mass = dp / c.G
 
-    doy = DAY0 + ps.t / c.SECONDS_PER_DAY
-    decl = jnp.deg2rad(23.44) * jnp.sin(2.0 * jnp.pi * (doy - 80.0) / 365.25)
-    hour_angle = 2.0 * jnp.pi * (ps.t / c.SECONDS_PER_DAY % 1.0) \
-        + aux.lon - jnp.pi
-    mu = jnp.maximum(
-        jnp.sin(aux.lat) * jnp.sin(decl)
-        + jnp.cos(aux.lat) * jnp.cos(decl) * jnp.cos(hour_angle), 0.0)
-
-    toa_dn = cfg.physics.solar_constant * mu          # (NYP, 1, NXP)
-    inv_mu = 1.0 / jnp.maximum(mu, 0.05)
-    # ice/snow albedo (mirrors physics/radiation.py effective_albedo)
-    if cfg.physics.dynamic_albedo:
-        albedo = jnp.where(ps.tsurf < c.T_ZERO_C,
-                           cfg.physics.albedo_ice, aux.albedo)
-    else:
-        albedo = aux.albedo
+    toa_dn, inv_mu, albedo = solar_forcing(ps.t, aux.lat, aux.lon, ps.tsurf,
+                                           aux.albedo, cfg)
     b_sfc = c.SIGMA_SB * ps.tsurf ** 4
 
     heat, swflx_sfc, lwflx_sfc, _, _ = gray_radiation_core(

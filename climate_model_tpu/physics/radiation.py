@@ -127,14 +127,28 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
             sl(net_up, 0, 1))
 
 
-def effective_albedo(tsurf, forcing: Forcing, cfg: ModelConfig):
+def effective_albedo(tsurf, albedo_map, cfg: ModelConfig):
     """Surface SW albedo: the static map, raised to the ice/snow value where
     the surface is frozen (reference surface albedo's ice/snow dependence,
-    SURVEY.md §2.1 row 17 [P])."""
+    SURVEY.md §2.1 row 17 [P]). Elementwise — shared by both layouts."""
     p = cfg.physics
     if not p.dynamic_albedo:
-        return forcing.albedo
-    return jnp.where(tsurf < c.T_ZERO_C, p.albedo_ice, forcing.albedo)
+        return albedo_map
+    return jnp.where(tsurf < c.T_ZERO_C, p.albedo_ice, albedo_map)
+
+
+def solar_forcing(t, lat, lon, tsurf, albedo_map, cfg: ModelConfig):
+    """Solar geometry + effective surface albedo for the SW calculation:
+    ``(toa_dn, inv_mu, albedo)``, all elementwise over broadcastable lat/lon/
+    tsurf arrays — ONE implementation shared by the standard layout
+    (``compute_radiation``) and the packed supertensor layout
+    (``physics/packed.py``), same dedup pattern as ``gray_radiation_core``.
+    inv_mu is the slant optical-depth path amplification 1/mu, capped for
+    grazing sun to avoid overflow at mu -> 0 (flux -> 0 there anyway)."""
+    mu = solar_zenith_cos(t, lat, lon)
+    toa_dn = cfg.physics.solar_constant * mu
+    inv_mu = 1.0 / jnp.maximum(mu, 0.05)
+    return toa_dn, inv_mu, effective_albedo(tsurf, albedo_map, cfg)
 
 
 def compute_radiation(state: State, grid: Grid, forcing: Forcing,
@@ -151,12 +165,8 @@ def compute_radiation(state: State, grid: Grid, forcing: Forcing,
 
     lat2 = grid.lat[:, None]
     lon2 = grid.lon[None, :]
-    mu = solar_zenith_cos(state.t, lat2, lon2)            # (ny, nx)
-    toa_dn = cfg.physics.solar_constant * mu
-    # slant optical depth path amplification 1/mu (capped for grazing sun
-    # to avoid overflow at mu -> 0; flux -> 0 there anyway)
-    inv_mu = 1.0 / jnp.maximum(mu, 0.05)
-    albedo = effective_albedo(state.tsurf, forcing, cfg)
+    toa_dn, inv_mu, albedo = solar_forcing(state.t, lat2, lon2, state.tsurf,
+                                           forcing.albedo, cfg)
     b_sfc = c.SIGMA_SB * state.tsurf ** 4
 
     heat, swflx_sfc, lwflx_sfc, f_up_toa, olr = gray_radiation_core(
