@@ -73,8 +73,8 @@ def micro_bench(baseline: int = 3, iters: int = 200,
     from ..core.grid import make_grid
     grid_np = make_grid(gc, num, np_mode=True)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
-              with_rad=phys.radiation, diff_uv=num.diff_uv,
-              diff_pott=num.diff_pott, diff_moist=num.diff_moist,
+              with_rad=phys.radiation,
+              with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=dt_, interpret=jax.default_backend() == "cpu")
     pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True,
                                        **kw)

@@ -25,7 +25,7 @@ def _vpu_floor_s(cfg) -> float:
     import jax.numpy as jnp
 
     from ..core.grid import make_grid
-    from ..kernels.fused_substep import (K2, lane_pad,
+    from ..kernels.fused_substep import (K2, NGEO, lane_pad,
                                          make_fused_substep_packed,
                                          pick_block_rows, prog_k, radf_k,
                                          row_pad)
@@ -40,14 +40,15 @@ def _vpu_floor_s(cfg) -> float:
                          with_phys=phys_tuple is not None)
     grid_np = make_grid(gc, num, np_mode=True)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
-              with_rad=phys.radiation, diff_uv=num.diff_uv,
-              diff_pott=num.diff_pott, diff_moist=num.diff_moist, dtype=dt_)
+              with_rad=phys.radiation,
+              with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
+              dtype=dt_)
     pred = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
     corr = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
                                      phys=phys_tuple, **kw)
     nyp, nxp = row_pad(ny, bj), lane_pad(nx)
     z = lambda k: jnp.zeros((nyp, k, nxp), dt_)
-    geo = jnp.zeros((nyp, 1, 8), dt_)
+    geo = jnp.zeros((nyp, 1, NGEO), dt_)
     radf = (z(radf_k(nz)),) if phys.radiation else ()
     radf_c = (z(radf_k(nz)),) if (phys.radiation or phys_tuple) else ()
     elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo)

@@ -148,7 +148,7 @@ def cmd_run(args) -> int:
         @jax.jit
         def run_chunk(s):
             s = sharded_run(s, grid, forcing)
-            return s, diagnostics(s, grid)
+            return s, diagnostics(s, grid, forcing, cfg)
     else:
         # single device, or GSPMD auto-partitioning over sharded inputs
         from .model import make_chunk_runner
@@ -157,7 +157,7 @@ def cmd_run(args) -> int:
         @jax.jit
         def run_chunk(s):
             s = runner(s, grid, forcing)
-            return s, diagnostics(s, grid)
+            return s, diagnostics(s, grid, forcing, cfg)
 
     mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"
                  if mesh is not None else "")

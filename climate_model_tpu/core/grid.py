@@ -63,6 +63,14 @@ class Grid:
     sigma: jax.Array      # (nz,)   sigma at level centers
     dsigma: jax.Array     # (nz,)   border-to-border sigma thickness
     dt: jax.Array         # ()      fixed model timestep [s]
+    # Per-latitude horizontal-diffusion coefficients [m2 s-1] (reference
+    # UVFLX_dif_coef / POTT_hor_dif_tau analogues). Arrays rather than
+    # scalars so (a) the fused kernel reads them from its geo operand —
+    # retuning never recompiles — and (b) latitude-dependent scaling is a
+    # grid-level choice. Currently constant = NumericsConfig.diff_*.
+    kdiff_uv: jax.Array    # (ny,)
+    kdiff_pott: jax.Array  # (ny,)
+    kdiff_moist: jax.Array # (ny,)
 
     # metadata (static, hashable)
     nx: int = dataclasses.field(metadata=dict(static=True))
@@ -119,9 +127,14 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
     sigma = 0.5 * (sigma_vb[:-1] + sigma_vb[1:])
     dsigma = np.diff(sigma_vb)
 
+    num = num or NumericsConfig()
+    ones_y = np.ones(ny)
+    kdiff_uv = num.diff_uv * ones_y
+    kdiff_pott = num.diff_pott * ones_y
+    kdiff_moist = num.diff_moist * ones_y
+
     # Fixed dt from the external-gravity-wave CFL bound (SURVEY.md §3.1
     # rebuild note: no per-step host-synchronizing dt reduction).
-    num = num or NumericsConfig()
     if num.dt is not None:
         dt = float(num.dt)
     else:
@@ -133,6 +146,7 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
         dy=np.asarray(dy), area=area, area_u=area_u, area_v=area_v,
         corf=corf, corf_v=corf_v, tan_lat=tan_lat, tan_lat_v=tan_lat_v,
         sigma_vb=sigma_vb, sigma=sigma, dsigma=dsigma, dt=np.asarray(dt),
+        kdiff_uv=kdiff_uv, kdiff_pott=kdiff_pott, kdiff_moist=kdiff_moist,
     )
     if np_mode:
         arrays = {k: np.asarray(v, np.float64) for k, v in arrays.items()}

@@ -148,8 +148,8 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
                          with_phys=with_phys)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
-              diff_uv=num.diff_uv, diff_pott=num.diff_pott,
-              diff_moist=num.diff_moist, dtype=dtype,
+              with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
+              dtype=dtype,
               interpret=jax.default_backend() == "cpu",
               wrap_lon=(n_lon == 1), wall_mask=(n_lat > 1))
     pred_k = make_fused_substep_packed(nz, ny_l, nx_l, bj=bj,

@@ -18,7 +18,8 @@ from .mesh import LAT, LON
 
 # Grid leaves by sharded dimension.
 _GRID_LAT_FIELDS = {"lat", "lats", "dx", "dxs", "area", "area_u", "area_v",
-                    "corf", "corf_v", "tan_lat", "tan_lat_v"}
+                    "corf", "corf_v", "tan_lat", "tan_lat_v",
+                    "kdiff_uv", "kdiff_pott", "kdiff_moist"}
 _GRID_LON_FIELDS = {"lon", "lonu"}
 
 

@@ -140,8 +140,15 @@ def continuity(u, v, colp, colp_base, dt, grid: Grid) -> Continuity:
 # Scalar flux-form advection (POTT, QV, QC).
 # ---------------------------------------------------------------------------
 
+def _diff_on(coef) -> bool:
+    """Static on/off for a diffusion coefficient: None or literal 0 is off;
+    a per-latitude array (grid.kdiff_*) or nonzero float is on."""
+    return coef is not None and not (isinstance(coef, (int, float))
+                                     and coef == 0.0)
+
+
 def scalar_tendency(q, cont: Continuity, colp, grid: Grid,
-                    source=None, diff_coef: float = 0.0) -> jnp.ndarray:
+                    source=None, diff_coef=None) -> jnp.ndarray:
     """NUMERICS.md 'Scalar flux-form advection'.
 
     Rebuild of reference ``temperature_tendency_jacobson`` /
@@ -160,17 +167,22 @@ def scalar_tendency(q, cont: Continuity, colp, grid: Grid,
 
     if source is not None:
         dqdt = dqdt + colp[None] * source
-    if diff_coef:
+    if _diff_on(diff_coef):
         dqdt = dqdt + horizontal_diffusion(q, colp[None], grid, diff_coef)
     return dqdt
 
 
-def horizontal_diffusion(q, colp_face, grid: Grid, coef: float,
+def horizontal_diffusion(q, colp_face, grid: Grid, coef,
                          is_v: bool = False) -> jnp.ndarray:
     """COLP-weighted 5-point Laplacian smoothing (NUMERICS.md): zero-flux at
     the lat walls via edge clamping for scalars and u; for v the wall value
     itself (v == 0 on the walls) is the neighbor beyond the last row.
-    Reference analogue: UVFLX_dif_coef / POTT_hor_dif_tau [P]."""
+    Reference analogue: UVFLX_dif_coef / POTT_hor_dif_tau [P].
+    ``coef`` [m2 s-1] is a scalar or a per-latitude (ny,) array
+    (grid.kdiff_*)."""
+    coef = jnp.asarray(coef)
+    if coef.ndim == 1:
+        coef = coef[None, :, None]
     dx2 = (grid.dx ** 2)[None, :, None]
     north = bc.north_zero(q) if is_v else bc.north_clamp(q)
     lap = (bc.east(q) - 2.0 * q + bc.west(q)) / dx2 \
@@ -183,7 +195,7 @@ def horizontal_diffusion(q, colp_face, grid: Grid, coef: float,
 # ---------------------------------------------------------------------------
 
 def momentum_tendency(u, v, pott, colp, cont: Continuity, diag: Diagnostics,
-                      grid: Grid, diff_coef: float = 0.0):
+                      grid: Grid, diff_coef=None):
     """NUMERICS.md 'Momentum'. Rebuild of reference ``wind_tendency_jacobson``
     (wind.py / wind_cuda.py — the largest reference kernel, SURVEY.md §2.1 [C]).
 
@@ -221,7 +233,7 @@ def momentum_tendency(u, v, pott, colp, cont: Continuity, diag: Diagnostics,
                        + c.C_P * pott_u * (diag.pvtf - bc.west(diag.pvtf))) / dx
 
     dudt = adv_u + vadv_u + cor_u + pgf_u
-    if diff_coef:
+    if _diff_on(diff_coef):
         dudt = dudt + horizontal_diffusion(u, colp_u, grid, diff_coef)
 
     # ---- v momentum ----
@@ -248,7 +260,7 @@ def momentum_tendency(u, v, pott, colp, cont: Continuity, diag: Diagnostics,
         / grid.dy
 
     dvdt = adv_v + vadv_v + cor_v + pgf_v
-    if diff_coef:
+    if _diff_on(diff_coef):
         dvdt = dvdt + horizontal_diffusion(v, colp_v, grid, diff_coef,
                                            is_v=True)
     dvdt = bc.enforce_v_walls(dvdt)

@@ -322,10 +322,13 @@ def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
     return new
 
 
-def step_moist(state, dt, grid, hsurf, **mp_kw):
+def step_moist(state, dt, grid, hsurf, diff_uv=0.0, diff_pott=0.0,
+               diff_moist=0.0, **mp_kw):
     """One full moist step: Matsuno dynamics + microphysics split
     (mirrors model.make_step_fn with microphysics only)."""
-    s = step_matsuno(state, dt, grid, hsurf, moisture=True)
+    s = step_matsuno(state, dt, grid, hsurf, moisture=True,
+                     diff_uv=diff_uv, diff_pott=diff_pott,
+                     diff_moist=diff_moist)
     return microphysics_step(s, grid, hsurf, dt, **mp_kw)
 
 

@@ -109,8 +109,7 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
                          with_rad=cfg.physics.radiation, itemsize=itemsize)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=cfg.physics.radiation,
-              diff_uv=num.diff_uv, diff_pott=num.diff_pott,
-              diff_moist=num.diff_moist,
+              with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=jnp.dtype(cfg.dtype),
               # Mosaic compiles on TPU only; CPU (tests/virtual devices)
               # runs the same kernel through the pallas interpreter.

@@ -41,11 +41,18 @@ def tendencies(state: State, colp_base, dt, grid: Grid, forcing: Forcing,
             wwind=jnp.zeros_like(cont.wwind),
         )
 
+    # Diffusion on/off is static (the config floats); the VALUES applied are
+    # the per-latitude Grid arrays so the jnp backend and the fused kernel
+    # (which reads them from its geo operand) use identical coefficients.
+    kuv = grid.kdiff_uv if num.diff_uv else None
+    kpott = grid.kdiff_pott if num.diff_pott else None
+    kmoist = grid.kdiff_moist if num.diff_moist else None
+
     zeros3 = jnp.zeros_like(pott)
     if num.wind_tendency:
         dudt, dvdt = ops.momentum_tendency(
             state.u, state.v, pott, colp, cont, diag, grid,
-            diff_coef=num.diff_uv)
+            diff_coef=kuv)
     else:
         dudt = dvdt = zeros3
 
@@ -55,15 +62,15 @@ def tendencies(state: State, colp_base, dt, grid: Grid, forcing: Forcing,
         # SURVEY.md §2.1 [P]); fast physics are operator-split instead.
         src = state.dpottdt_rad if cfg.physics.radiation else None
         dpottdt = ops.scalar_tendency(pott, cont, colp, grid, source=src,
-                                      diff_coef=num.diff_pott)
+                                      diff_coef=kpott)
     else:
         dpottdt = zeros3
 
     if num.moisture_tendency:
         dqvdt = ops.scalar_tendency(state.qv, cont, colp, grid,
-                                    diff_coef=num.diff_moist)
+                                    diff_coef=kmoist)
         dqcdt = ops.scalar_tendency(state.qc, cont, colp, grid,
-                                    diff_coef=num.diff_moist)
+                                    diff_coef=kmoist)
     else:
         dqvdt = dqcdt = zeros3
 

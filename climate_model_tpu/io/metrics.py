@@ -35,25 +35,69 @@ class StepDiagnostics(NamedTuple):
     mean_tair_proxy: jnp.ndarray  # mass-weighted mean POTT [K]
     total_water: jnp.ndarray  # global precipitable water + rain [kg]
     nan_flag: jnp.ndarray     # True if any prognostic is non-finite
+    # Climate-sanity fields (SURVEY.md §4 properties row; BASELINE config
+    # #5 "sustained"): global energy balance + water closure over a long
+    # run. Computed only when diagnostics() is given (forcing, cfg); zero
+    # otherwise. All are exact-area-weighted global means per unit area.
+    toa_net_sw: jnp.ndarray   # net SW absorbed by column+surface [W m-2]
+    olr: jnp.ndarray          # outgoing longwave at TOA [W m-2]
+    energy: jnp.ndarray       # column moist enthalpy + surface slab heat
+                              # content [J m-2] (drift check vs TOA net)
+    evap_rate: jnp.ndarray    # instantaneous surface evaporation
+                              # [kg m-2 s-1] (water-closure source term)
+    total_rain: jnp.ndarray   # accumulated precipitation [kg m-2]
 
 
-def diagnostics(state: State, grid: Grid) -> StepDiagnostics:
+def diagnostics(state: State, grid: Grid, forcing=None,
+                cfg=None) -> StepDiagnostics:
+    from ..core import constants as c
+
     area = grid.area[:, None]
     w = area / jnp.sum(area) / state.colp.shape[-1]
     mean_colp = jnp.sum(state.colp * w)
     dsig = grid.dsigma[:, None, None]
     mass = state.colp[None] * dsig
     mean_pott = jnp.sum(state.pott * mass * w[None]) / jnp.sum(mass * w[None])
-    from ..core import constants as c
     water = jnp.sum((state.qv + state.qc) * mass * area[None]) / c.G \
         + jnp.sum(state.rain * area)
     max_wind = jnp.maximum(jnp.max(jnp.abs(state.u)), jnp.max(jnp.abs(state.v)))
     finite = jnp.isfinite(state.u).all() & jnp.isfinite(state.colp).all() \
         & jnp.isfinite(state.pott).all() & jnp.isfinite(state.qv).all()
+
+    zero = jnp.zeros_like(state.t)
+    toa_net_sw = olr = energy = evap_rate = zero
+    total_rain = jnp.sum(state.rain * w)
+    if forcing is not None and cfg is not None:
+        # Diagnostics run once per scan chunk (not per step), so a full
+        # radiation/flux recompute here is cheap relative to the chunk.
+        from ..dycore.operators import diagnose_pressure
+        press = diagnose_pressure(state.colp, grid)
+        if cfg.physics.radiation:
+            from ..physics.radiation import compute_radiation
+            rad = compute_radiation(state, grid, forcing, cfg)
+            toa_net_sw = jnp.sum(rad.swflx_toa * w)
+            olr = jnp.sum(rad.olr * w)
+        if cfg.physics.surface:
+            from ..physics.surface import surface_fluxes
+            fx = surface_fluxes(state, grid, forcing, cfg, press=press)
+            evap_rate = jnp.sum(fx.evap * w)
+        # Column moist enthalpy + slab surface heat content. The residual of
+        # d(energy)/dt vs (toa_net_sw - olr) isolates the non-conservative
+        # terms (KE dissipation by drag/diffusion, rain enthalpy removal) —
+        # the climate-sanity gate asserts it stays small vs the flux scale.
+        tair = state.pott * press[1]
+        col = jnp.sum((c.C_P * tair + c.L_V * state.qv) * mass, axis=0) / c.G
+        heat_cap = jnp.where(forcing.land_mask > 0.5,
+                             cfg.physics.soil_heat_capacity,
+                             cfg.physics.ocean_heat_capacity)
+        energy = jnp.sum((col + heat_cap * state.tsurf) * w)
+
     return StepDiagnostics(
         t=state.t, step=state.step, max_wind=max_wind, mean_colp=mean_colp,
         mean_tair_proxy=mean_pott, total_water=water,
-        nan_flag=jnp.logical_not(finite))
+        nan_flag=jnp.logical_not(finite),
+        toa_net_sw=toa_net_sw, olr=olr, energy=energy,
+        evap_rate=evap_rate, total_rain=total_rain)
 
 
 @dataclasses.dataclass
@@ -80,6 +124,9 @@ class MetricsLogger:
             total_water=float(d.total_water),
             nan=bool(d.nan_flag), wall_s=wall,
             grid_points_per_s=gps,
+            toa_net_sw=float(d.toa_net_sw), olr=float(d.olr),
+            energy=float(d.energy), evap_rate=float(d.evap_rate),
+            total_rain=float(d.total_rain),
         )
         if extra:
             rec.update(extra)

@@ -82,7 +82,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import constants as c
 
 GEO_FIELDS = ("area", "area_v", "dx", "dxs", "corf", "corf_v",
-              "tan_lat", "tan_lat_v")
+              "tan_lat", "tan_lat_v", "kdiff_uv", "kdiff_pott",
+              "kdiff_moist")
 NGEO = len(GEO_FIELDS)
 HALO = 3          # south row-halo (and ghost-row offset of the packed rows).
                   # 3, not 2: the physics epilogue consumes updated fields at
@@ -335,8 +336,7 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
 def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               same_base: bool, dt: float, dy: float,
                               ptop: float, with_rad: bool,
-                              diff_uv: float = 0.0, diff_pott: float = 0.0,
-                              diff_moist: float = 0.0, dtype=jnp.float32,
+                              with_diff: bool = False, dtype=jnp.float32,
                               interpret: bool = False, phys: tuple = None,
                               wrap_lon: bool = True,
                               wall_mask: bool = False,
@@ -347,6 +347,12 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
     with ``prog_base`` present iff not same_base, ``radf`` iff with_rad or
     phys; all shapes per the module docstring; geo is (NYP, 1, NGEO).
+
+    ``with_diff`` compiles in the horizontal-diffusion terms; the
+    COEFFICIENT VALUES ride in per-latitude geo columns (kdiff_uv /
+    kdiff_pott / kdiff_moist, [m2 s-1], from ``Grid``), so sweeping or
+    retuning a coefficient never recompiles the kernel — only toggling the
+    terms on/off does.
 
     ``phys`` enables the physics EPILOGUE (surface + turbulence +
     microphysics run on the updated fields inside this kernel — one HBM pass
@@ -622,16 +628,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         if with_rad:
             dqdt = jnp.concatenate(
                 [dqdt[:, :nz] + ce * rad, dqdt[:, nz:]], axis=1)
-        if diff_pott or diff_moist:
+        if with_diff:
             lap = (_e(Q) - 2.0 * Q + _w(Q)) / (dx * dx) \
                 + (_n(Q) - 2.0 * Q + _s(Q)) / (dy * dy)
-            if diff_pott == diff_moist:
-                dqdt = dqdt + diff_pott * ce * lap
-            else:
-                kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * nz, 1), 1)
-                dcoef = jnp.where(kidx < nz, diff_pott, diff_moist) \
-                    .astype(dtype)
-                dqdt = dqdt + dcoef * ce * lap
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * nz, 1), 1)
+            dcoef = jnp.where(kidx < nz, gcol("kdiff_pott"),
+                              gcol("kdiff_moist"))        # (w, 3nz, 1)
+            dqdt = dqdt + dcoef * ce * lap
 
         if not same_base:
             wait_late()
@@ -671,10 +674,10 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                            + cp_pott_u * (pvtf3 - _w(pvtf3))) / dx
 
         dudt = adv_u + vadv_u + cor_u + pgf_u
-        if diff_uv:
+        if with_diff:
             lap = (_e(u) - 2.0 * u + _w(u)) / (dx * dx) \
                 + (_n(u) - 2.0 * u + su_) / (dy * dy)
-            dudt = dudt + diff_uv * colp_u * lap
+            dudt = dudt + gcol("kdiff_uv") * colp_u * lap
 
         cu_old = 0.5 * (_w(cb) + cb)
         u2 = (upd_b(ub) * upd(cu_old) + dt * upd(dudt)) / upd(cn_u)
@@ -698,10 +701,10 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                            + cp_pott_v * (pvtf3 - _s(pvtf3))) / dy
 
         dvdt = adv_v + vadv_v + cor_v + pgf_v
-        if diff_uv:
+        if with_diff:
             lap = (_e(v) - 2.0 * v + wv_) / (dx * dx) \
                 + (vn_ - 2.0 * v + _s(v)) / (dy * dy)
-            dvdt = dvdt + diff_uv * colp_v * lap
+            dvdt = dvdt + gcol("kdiff_uv") * colp_v * lap
 
         cv_old = 0.5 * (_s(cb) + cb)
         v2 = (upd_b(vb) * upd(cv_old) + dt * upd(dvdt)) / upd(cn_v)
@@ -1003,8 +1006,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
 
 def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
                        same_base: bool, dt: float, dy: float, ptop: float,
-                       with_rad: bool, diff_uv: float = 0.0,
-                       diff_pott: float = 0.0, diff_moist: float = 0.0,
+                       with_rad: bool, with_diff: bool = False,
                        dtype=jnp.float32, interpret: bool = False,
                        debug_slots: bool = False):
     """Standard-layout wrapper (packs inputs, unpacks outputs): same
@@ -1014,9 +1016,8 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
     debugging channel; see the kernel body)."""
     kern = make_fused_substep_packed(
         nz, ny, nx, bj=bj, same_base=same_base, dt=dt, dy=dy, ptop=ptop,
-        with_rad=with_rad, diff_uv=diff_uv, diff_pott=diff_pott,
-        diff_moist=diff_moist, dtype=dtype, interpret=interpret,
-        debug_slots=debug_slots)
+        with_rad=with_rad, with_diff=with_diff, dtype=dtype,
+        interpret=interpret, debug_slots=debug_slots)
 
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
         z2 = jnp.zeros_like(colp)

@@ -92,8 +92,7 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     phys_tuple = phys_epilogue_tuple(cfg)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
-              diff_uv=num.diff_uv, diff_pott=num.diff_pott,
-              diff_moist=num.diff_moist,
+              with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=jnp.dtype(cfg.dtype),
               interpret=jax.default_backend() == "cpu",
               # same kernel program as the lat-sharded path (mask in AUX2

@@ -64,8 +64,12 @@ def test_milestone2_fullsize_oracle_allclose():
     step = make_step_fn(cfg)
     s_np = dict(st)
     n_steps = 20
+    num = cfg.numerics
     for _ in range(n_steps):
         s_np = oracle.step_moist(s_np, dt, grid_np, fo["hsurf"],
+                                 diff_uv=num.diff_uv,
+                                 diff_pott=num.diff_pott,
+                                 diff_moist=num.diff_moist,
                                  qc_autoconv_time=p.qc_autoconv_time,
                                  qc_autoconv_threshold=p.qc_autoconv_threshold)
         state = step(state, grid, forcing)

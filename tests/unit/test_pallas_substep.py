@@ -91,7 +91,10 @@ def test_with_radiation_source_and_diffusion():
     cfg = cfg.replace(
         physics=cfg.physics.__class__(radiation=True),
         numerics=cfg.numerics.__class__(diff_uv=5e4, diff_pott=5e4,
-                                        diff_moist=5e4))
+                                        diff_moist=2e4))
+    # rebuild the grid so its kdiff_* geo columns (the kernel's coefficient
+    # source) carry the new coefficients
+    grid = make_grid(cfg.grid, cfg.numerics, dtype=jnp.float64)
     rad = jnp.asarray(
         np.random.default_rng(1).normal(0, 1e-5, state.pott.shape))
     state = state.replace(dpottdt_rad=rad)
@@ -102,7 +105,7 @@ def test_with_radiation_source_and_diffusion():
     sub = make_fused_substep(
         grid.nz, grid.ny, grid.nx, bj=8, same_base=True,
         dt=dt, dy=float(grid_np.dy), ptop=grid.ptop, with_rad=True,
-        diff_uv=5e4, diff_pott=5e4, diff_moist=5e4,
+        with_diff=True,
         dtype=jnp.float64, interpret=True)
     out = sub(state.u, state.v, state.pott, state.qv, state.qc, state.colp,
               forcing.hsurf, _geo(grid), rad)
