@@ -109,11 +109,11 @@ def micro_bench(baseline: int = 3, iters: int = 200,
     # one full-tile VPU op = (w, nz, nxp) elements / 1024 lanes / 940 MHz
     tile_op_s = w * nz * nxp / 1024.0 / 0.94e9
 
-    t_pred = _time_chain(lambda p: pred_k(p, *radf, aux.aux2, aux.geo),
+    t_pred = _time_chain(lambda p: pred_k(p, *radf, aux.aux2, aux.geo, aux.vert),
                          ps.prog, iters)
     t_corr = _time_chain(
         lambda p: corr_k(p, p, *((ps.radf,) if (phys.radiation or with_phys)
-                                 else ()), aux.aux2, aux.geo),
+                                 else ()), aux.aux2, aux.geo, aux.vert),
         ps.prog, iters)
     t_rad = None
     if phys.radiation:

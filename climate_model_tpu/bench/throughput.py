@@ -25,7 +25,7 @@ def _vpu_floor_s(cfg) -> float:
     import jax.numpy as jnp
 
     from ..core.grid import make_grid
-    from ..kernels.fused_substep import (K2, NGEO, lane_pad,
+    from ..kernels.fused_substep import (K2, NGEO, NVERT, lane_pad, make_vert,
                                          make_fused_substep_packed,
                                          pick_block_rows, prog_k, radf_k,
                                          row_pad)
@@ -51,9 +51,12 @@ def _vpu_floor_s(cfg) -> float:
     geo = jnp.zeros((nyp, 1, NGEO), dt_)
     radf = (z(radf_k(nz)),) if phys.radiation else ()
     radf_c = (z(radf_k(nz)),) if (phys.radiation or phys_tuple) else ()
-    elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo)
+    import numpy as _np
+    vert = make_vert(_np.linspace(0.0, 1.0, nz + 1),
+                     _np.full(nz, 1.0 / nz), dt_)
+    elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo, vert)
     elems += pallas_kernel_elems(corr, z(prog_k(nz)), z(prog_k(nz)),
-                                 *radf_c, z(K2), geo)
+                                 *radf_c, z(K2), geo, vert)
     nt = -(-ny // bj)
     import jax
     return elems * nt / device_vpu_rate(jax.devices()[0])

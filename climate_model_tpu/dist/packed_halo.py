@@ -51,8 +51,7 @@ from ..core.grid import Grid, make_grid
 from ..core.state import Forcing, State
 from ..kernels.fused_substep import (GX, HALO, HALO_N, lane_pad,
                                      make_fused_substep_packed,
-                                     pick_block_rows, require_uniform_sigma,
-                                     row_pad)
+                                     pick_block_rows, row_pad)
 from ..kernels.packing import pack_aux, pack_full, unpack_full
 from ..physics.packed import radiation_step_packed
 from .mesh import LAT, LON, validate_divisibility
@@ -139,7 +138,6 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     n_lat, n_lon = mesh.shape[LAT], mesh.shape[LON]
     ny_l, nx_l = ny // n_lat, nx // n_lon
     grid_np = make_grid(gc, num, np_mode=True)
-    require_uniform_sigma(grid_np.sigma_vb)
     dtype = jnp.dtype(cfg.dtype)
     phys_tuple = phys_epilogue_tuple(cfg)
     with_phys = phys_tuple is not None
@@ -235,9 +233,9 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
             prog = refresh(s.prog)
             radf = refresh(s.radf) if corr_radf else s.radf
             pred_args = (prog,) + ((radf,) if phys.radiation else ())
-            p = refresh(pred_k(*pred_args, aux.aux2, aux.geo))
+            p = refresh(pred_k(*pred_args, aux.aux2, aux.geo, aux.vert))
             corr_args = (p, prog) + ((radf,) if corr_radf else ())
-            out = corr_k(*corr_args, aux.aux2, aux.geo)
+            out = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert)
             return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
 
         def body_overlap(s, _):
@@ -251,20 +249,20 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
             rad_m = (radf,) if phys.radiation else ()
             rad_s = (s_in(radf, fs_r),) if phys.radiation else ()
             rad_n = (n_in(radf, fn_r),) if phys.radiation else ()
-            p_main = pred_k(prog, *rad_m, aux.aux2, aux.geo)
-            p_s = pred_s(s_in(prog, fs_p), *rad_s, a2_s, geo_s)
-            p_n = pred_n(n_in(prog, fn_p), *rad_n, a2_n, geo_n)
+            p_main = pred_k(prog, *rad_m, aux.aux2, aux.geo, aux.vert)
+            p_s = pred_s(s_in(prog, fs_p), *rad_s, a2_s, geo_s, aux.vert)
+            p_n = pred_n(n_in(prog, fn_p), *rad_n, a2_n, geo_n, aux.vert)
             p = r_cols(merge(p_main, p_s, p_n))
             # ---- corrector: same schedule; base rows reuse fs_p/fn_p ----
             fs_q, fn_q = edges(p)
             rad_mc = (radf,) if corr_radf else ()
             rad_sc = (s_in(radf, fs_r),) if corr_radf else ()
             rad_nc = (n_in(radf, fn_r),) if corr_radf else ()
-            out_main = corr_k(p, prog, *rad_mc, aux.aux2, aux.geo)
+            out_main = corr_k(p, prog, *rad_mc, aux.aux2, aux.geo, aux.vert)
             out_s = corr_s(s_in(p, fs_q), s_in(prog, fs_p), *rad_sc,
-                           a2_s, geo_s)
+                           a2_s, geo_s, aux.vert)
             out_n = corr_n(n_in(p, fn_q), n_in(prog, fn_p), *rad_nc,
-                           a2_n, geo_n)
+                           a2_n, geo_n, aux.vert)
             out = merge(out_main, out_s, out_n)
             return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
 

@@ -95,13 +95,12 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     sources/splits stay jnp around it."""
     from ..core.grid import make_grid
     from ..kernels.fused_substep import (GEO_FIELDS, make_fused_substep_packed,
-                                        pack_aux2, pack_geo, pack_prog,
-                                        pack_radf, pick_block_rows,
-                                        require_uniform_sigma, unpack_prog)
+                                        make_vert, pack_aux2, pack_geo,
+                                        pack_prog, pack_radf,
+                                        pick_block_rows, unpack_prog)
 
     gc, num = cfg.grid, cfg.numerics
     grid_np = make_grid(gc, num, np_mode=True)
-    require_uniform_sigma(grid_np.sigma_vb)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     itemsize = jnp.dtype(cfg.dtype).itemsize
     # corrector (same_base=False) has the larger footprint; use one bj for both
@@ -121,6 +120,7 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     def step(state: State, grid: Grid, forcing: Forcing) -> State:
         geo_p = pack_geo(jnp.stack([getattr(grid, f) for f in GEO_FIELDS],
                                    axis=1), bj)
+        vert = make_vert(grid.sigma_vb, grid.dsigma, jnp.dtype(cfg.dtype))
         z2 = jnp.zeros_like(state.colp)
         aux2 = pack_aux2(forcing.hsurf, z2, z2, z2, bj)
         rad_p = ((pack_radf(z2, z2, state.dpottdt_rad, bj),)
@@ -128,8 +128,8 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
         base = pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
                          state.colp, state.tsurf, state.rain,
                          state.soil_moist, bj)
-        p = pred_k(base, *rad_p, aux2, geo_p)
-        out = corr_k(p, base, *rad_p, aux2, geo_p)
+        p = pred_k(base, *rad_p, aux2, geo_p, vert)
+        out = corr_k(p, base, *rad_p, aux2, geo_p, vert)
         u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         return state.replace(u=u, v=v, pott=pott, qv=qv, qc=qc, colp=colp)
 

@@ -122,18 +122,21 @@ def lane_pad(nx: int) -> int:
     return -(-(nx + 2 * GX) // 128) * 128
 
 
-def require_uniform_sigma(sigma_vb) -> None:
-    """The fused kernels hard-code uniform sigma spacing (``sig_b = k*dsig``
-    built on an iota — Mosaic cannot capture array constants), while
-    ``core/grid.py`` builds general ``sigma_vb``/``dsigma`` arrays. Refuse a
-    stretched grid loudly instead of silently diverging from the jnp backend;
-    stretched-sigma configs run on ``backend='jnp'`` (fully general there)."""
-    sv = np.asarray(sigma_vb, np.float64)
-    if sv.size > 1 and not np.allclose(np.diff(sv), 1.0 / (sv.size - 1),
-                                       rtol=1e-12, atol=1e-12):
-        raise NotImplementedError(
-            "backend='pallas' (fused kernels) supports uniform sigma spacing "
-            "only; run sigma_stretch != 1 grids with backend='jnp'")
+NVERT = 2         # lanes of the per-level VERT operand: [sigma_vb | dsigma]
+
+
+def make_vert(sigma_vb, dsigma, dtype):
+    """Per-level geometry operand (1, nz+1, NVERT): sigma borders and layer
+    thicknesses (dsigma padded with a trailing 0). Mosaic cannot capture
+    array constants, so general ``sigma_vb``/``dsigma`` (incl. power-law
+    stretched grids, ``GridConfig.sigma_stretch``) ride in as a tiny VMEM
+    operand — the round-2 ``require_uniform_sigma`` refusal guard is gone.
+    For uniform grids with power-of-two nz the stored values equal the old
+    ``iota * dsig`` construction bitwise."""
+    sv = jnp.asarray(sigma_vb, dtype)
+    ds = jnp.concatenate([jnp.asarray(dsigma, dtype),
+                          jnp.zeros((1,), dtype)])
+    return jnp.stack([sv, ds], axis=-1)[None]               # (1, nz+1, 2)
 
 
 def row_pad(ny: int, bj: int) -> int:
@@ -378,8 +381,6 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     nyp, nxp = row_pad(ny, bj), lane_pad(nx)
     kp, kr = prog_k(nz), radf_k(nz)
     w = bj + HALO + (HALO_N if with_phys else HALO)
-    sig_vb = [float(s) for s in np.linspace(0.0, 1.0, nz + 1)]
-    dsig = sig_vb[1] - sig_vb[0]
     # rows of updated fields carried into the epilogue: one halo row each
     # side of the center block (tile rows [1, bj+3)) so the epilogue's
     # one-point neighbor reads stay valid on the center rows
@@ -422,8 +423,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     def kernel(*refs):
         hbm = refs[:n_args]
         geo_ref = refs[n_args]
-        out_ref = refs[n_args + 1]
-        scr = refs[n_args + 2:]
+        vert_ref = refs[n_args + 1]
+        out_ref = refs[n_args + 2]
+        scr = refs[n_args + 3:]
         bufs = scr[:n_streams]
         sem_in = scr[n_streams]
         obuf = scr[n_streams + 1]
@@ -519,11 +521,13 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         # (per-k python loops would emit (w, 1, nxp) thin ops at 1/8 sublane
         # utilization; everything here runs on (w, nz(+1), nxp) tiles, with
         # the two true vertical scans expressed as sublane-axis cumsums)
-        # sigma borders are uniform: sig_b[k] = k * dsig (built via an int32
-        # iota then cast — pallas cannot capture array constants, and Mosaic
-        # requires integer iota)
-        sig_b = jax.lax.broadcasted_iota(
-            jnp.int32, (1, nz + 1, 1), 1).astype(dtype) * dsig
+        # per-level sigma geometry from the VERT operand (general borders/
+        # thicknesses incl. stretched grids; see make_vert)
+        vert = vert_ref[:]                                   # (1, nz+1, 2)
+        sig_b = vert[:, :, 0:1]                              # (1, nz+1, 1)
+        dsig_c = vert[:, :nz, 1:2]                           # (1, nz, 1)
+        dsig3 = jnp.concatenate([dsig_c, dsig_c, dsig_c], axis=1)
+        dsig_sfc = vert[:, nz - 1:nz, 1:2]                   # (1, 1, 1)
         pvb3 = ptop + sig_b * ce                             # (w, nz+1, nxp)
         pvtfvb3 = (pvb3 / c.P_REF) ** c.KAPPA
         # hoisted hi/lo level slices and C_P*pott (multi-consumer values:
@@ -547,7 +551,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         n_vflx = _n(vflx)
         div = (e_uflx - uflx + n_vflx - vflx) / area
 
-        both = _cumsum_k2(jnp.concatenate([jump3, div * dsig], axis=1), nz)
+        both = _cumsum_k2(jnp.concatenate([jump3, div * dsig_c], axis=1), nz)
         incl = both[:, :nz]                                  # sum_{k'<=k}
         csum = both[:, nz:2 * nz]
         total_j = incl[:, nz - 1:nz]                         # full-column sum
@@ -624,7 +628,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         bflx = wpad3 * cn * (_kdn(Q) + Q)                   # border k flux
         # _kup0 crossing a segment boundary reads the next field's zero
         # top-border flux — exactly the zero bottom-border flux needed
-        dqdt = dqdt - (_kup0(bflx) - bflx) / dsig
+        dqdt = dqdt - (_kup0(bflx) - bflx) / dsig3
         if with_rad:
             dqdt = jnp.concatenate(
                 [dqdt[:, :nz] + ce * rad, dqdt[:, nz:]], axis=1)
@@ -664,7 +668,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         fz_u = w_u3 * cn_u * 0.5 * (u[:, :-1] + u[:, 1:])   # (w, nz-1, nxp)
         zero3 = jnp.zeros_like(cn)
         fz_u_full = jnp.concatenate([zero3, fz_u, zero3], axis=1)
-        vadv_u = -(fz_u_full[:, 1:] - fz_u_full[:, :-1]) / dsig
+        vadv_u = -(fz_u_full[:, 1:] - fz_u_full[:, :-1]) / dsig_c
 
         v_at_u = 0.25 * (wv_ + v + _w(vn_) + vn_)
         cor_u = colp_u * (corf + u * tanl / c.R_EARTH) * v_at_u
@@ -691,7 +695,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         cn_v = 0.5 * (_s(cn) + cn)
         fz_v = w_v3 * cn_v * 0.5 * (v[:, :-1] + v[:, 1:])
         fz_v_full = jnp.concatenate([zero3, fz_v, zero3], axis=1)
-        vadv_v = -(fz_v_full[:, 1:] - fz_v_full[:, :-1]) / dsig
+        vadv_v = -(fz_v_full[:, 1:] - fz_v_full[:, :-1]) / dsig_c
 
         u_at_v = 0.25 * (su_ + _s(ue_) + u + ue_)
         cor_v = -colp_v * (corf_v + u_at_v * tanl_v / c.R_EARTH) * u_at_v
@@ -828,7 +832,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                     dr = sm2 - dt * evap_f / c.RHO_WATER
                     dr = jnp.where(dr < sm_cap, relu(dr), sm_cap)
                     sm2 = jnp.where(land2 > 0.5, dr, sm2)
-                dp_sfc = cn_u2[:, 0] * dsig
+                # 3-D multiply then squeeze: a squeezed (1,1) operand would
+                # need a sublane+lane broadcast Mosaic cannot lower
+                dp_sfc = (cn_u2 * dsig_sfc)[:, 0]
                 m_sfc = dp_sfc / c.G
 
                 def add_bottom(x, delta):
@@ -911,8 +917,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 frac = 1.0 - float(np.exp(-dt / qc_tau))
                 to_rain = relu(qc2 - qc_thr) * frac
                 qc2 = relu(qc2 - to_rain)
-                rain_inc = jnp.sum(to_rain, axis=1) \
-                    * cn_u2[:, 0] * dsig / c.G
+                # per-level layer mass (matches jnp microphysics_step's
+                # sum(to_rain * colp * dsigma) ordering)
+                rain_inc = jnp.sum(to_rain * (cn_u2 * dsig_c), axis=1) / c.G
                 rain2 = rain2 + rain_inc
                 if w_soil:
                     # rain refills the land bucket up to field capacity
@@ -971,6 +978,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_args)]
     in_specs.append(pl.BlockSpec((nyp, 1, NGEO), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM))       # geo
+    in_specs.append(pl.BlockSpec((1, nz + 1, NVERT), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))       # vert
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shape = jax.ShapeDtypeStruct((nyp, kp, nxp), dtype)
 
@@ -1008,16 +1017,22 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
                        same_base: bool, dt: float, dy: float, ptop: float,
                        with_rad: bool, with_diff: bool = False,
                        dtype=jnp.float32, interpret: bool = False,
-                       debug_slots: bool = False):
+                       debug_slots: bool = False,
+                       sigma_vb=None, dsigma=None):
     """Standard-layout wrapper (packs inputs, unpacks outputs): same
     signature as the packed kernel but on (nz, ny, nx)/(ny, nx) arrays —
     used by unit tests; the stepper chains packed substeps directly.
-    ``debug_slots`` also returns the 4 diagnostics slots (hardware
-    debugging channel; see the kernel body)."""
+    ``sigma_vb``/``dsigma`` default to uniform spacing; pass the grid's
+    arrays for stretched-sigma runs. ``debug_slots`` also returns the 4
+    diagnostics slots (hardware debugging channel; see the kernel body)."""
     kern = make_fused_substep_packed(
         nz, ny, nx, bj=bj, same_base=same_base, dt=dt, dy=dy, ptop=ptop,
         with_rad=with_rad, with_diff=with_diff, dtype=dtype,
         interpret=interpret, debug_slots=debug_slots)
+    if sigma_vb is None:
+        sigma_vb = np.linspace(0.0, 1.0, nz + 1)
+        dsigma = np.diff(sigma_vb)
+    vert = make_vert(sigma_vb, dsigma, dtype)
 
     def substep(u, v, pott, qv, qc, colp, hs, geo, *extra):
         z2 = jnp.zeros_like(colp)
@@ -1031,6 +1046,7 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
             idx += 1
         args.append(pack_aux2(hs, z2, z2, z2, bj))
         args.append(pack_geo(geo, bj))
+        args.append(vert)
         out = kern(*args)
         u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         if debug_slots:

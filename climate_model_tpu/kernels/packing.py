@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.state import Forcing, State
-from .fused_substep import (GEO_FIELDS, GX, HALO, K2, lane_pad, pack2,
-                            pack_aux2, pack_geo, pack_prog, pack_radf,
-                            row_pad, unpack2, unpack3)
+from .fused_substep import (GEO_FIELDS, GX, HALO, K2, lane_pad, make_vert,
+                            pack2, pack_aux2, pack_geo, pack_prog,
+                            pack_radf, row_pad, unpack2, unpack3)
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +104,7 @@ class PackedAux:
 
     aux2: jax.Array       # (NYP, K2, NXP): [hsurf|land|albedo|evap|dead]
     geo: jax.Array        # (NYP, 1, NGEO)
+    vert: jax.Array       # (1, nz+1, NVERT): per-level sigma geometry
     lat: jax.Array        # (NYP, 1, 1)
     lon: jax.Array        # (1, 1, NXP)
     valid: jax.Array      # (NYP, 1, NXP) 1.0 on real rows/cols else 0.0
@@ -173,7 +174,9 @@ def pack_aux(forcing: Forcing, grid, bj: int, dtype) -> PackedAux:
     aux2 = jnp.concatenate(
         [aux2[:, :4], jnp.broadcast_to(mask, (nyp, 1, nxp)), aux2[:, 5:]],
         axis=1)
-    return PackedAux(aux2=aux2, geo=geo, lat=lat, lon=lon, valid=valid)
+    vert = make_vert(grid.sigma_vb, grid.dsigma, dtype)
+    return PackedAux(aux2=aux2, geo=geo, vert=vert, lat=lat, lon=lon,
+                     valid=valid)
 
 
 # ---------------------------------------------------------------------------

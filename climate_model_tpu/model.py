@@ -80,14 +80,12 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     corrector kernel — one HBM pass per substep for the entire model step.
     Radiation refreshes its cache packed (interval cond)."""
     from .core.grid import make_grid
-    from .kernels.fused_substep import (make_fused_substep_packed,
-                                        require_uniform_sigma)
+    from .kernels.fused_substep import make_fused_substep_packed
     from .kernels.packing import PackedAux, PackedState
     from .physics.packed import radiation_step_packed
 
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     grid_np = make_grid(gc, num, np_mode=True)
-    require_uniform_sigma(grid_np.sigma_vb)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     phys_tuple = phys_epilogue_tuple(cfg)
     kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
@@ -108,9 +106,9 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
         if phys.radiation:
             ps = radiation_step_packed(ps, aux, cfg, nz)
         pred_args = (ps.prog,) + ((ps.radf,) if phys.radiation else ())
-        p = pred_k(*pred_args, aux.aux2, aux.geo)
+        p = pred_k(*pred_args, aux.aux2, aux.geo, aux.vert)
         corr_args = (p, ps.prog) + ((ps.radf,) if corr_radf else ())
-        prog = corr_k(*corr_args, aux.aux2, aux.geo)
+        prog = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert)
         return ps.replace(prog=prog, t=ps.t + dt, step=ps.step + 1)
 
     return step

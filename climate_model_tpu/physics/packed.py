@@ -28,10 +28,11 @@ from ..kernels.packing import PackedAux, PackedState
 from .radiation import gray_radiation_core, solar_forcing
 
 
-def packed_pressure(colp, nz: int, ptop: float):
-    """(pvb, pvtf) on packed layout: colp (NYP,1,NXP) -> (NYP, nz+1|nz, NXP)."""
-    sig_vb = jnp.linspace(0.0, 1.0, nz + 1,
-                          dtype=colp.dtype).reshape(1, nz + 1, 1)
+def packed_pressure(colp, vert, ptop: float):
+    """(pvb, pvtf) on packed layout: colp (NYP,1,NXP) -> (NYP, nz+1|nz, NXP).
+    ``vert`` is the kernel's per-level geometry operand (1, nz+1, NVERT) —
+    general sigma borders, incl. stretched grids."""
+    sig_vb = vert[:, :, 0:1]
     pvb = ptop + sig_vb * colp
     pvtfvb = (pvb / c.P_REF) ** c.KAPPA
     pvtf = (pvb[:, 1:] * pvtfvb[:, 1:] - pvb[:, :-1] * pvtfvb[:, :-1]) \
@@ -46,9 +47,9 @@ def compute_radiation_packed(ps: PackedState, aux: PackedAux,
     axis 1) — one implementation of the column math and of the solar
     geometry / ice-albedo math for both layouts."""
     colp, pott, qv, qc = ps.colp, ps.pott, ps.qv, ps.qc
-    _, pvtf, _ = packed_pressure(colp, nz, cfg.grid.ptop)
+    _, pvtf, _ = packed_pressure(colp, aux.vert, cfg.grid.ptop)
     tair = pott * pvtf
-    dsig = 1.0 / nz
+    dsig = aux.vert[:, :nz, 1:2]                      # per-level (1, nz, 1)
     dp = colp * dsig
     mass = dp / c.G
 

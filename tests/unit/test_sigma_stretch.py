@@ -1,6 +1,8 @@
-"""Stretched (non-uniform) sigma spacing: first-class on the jnp backend,
-loud refusal on the fused-kernel (pallas) fast path (VERDICT r1 gap #6;
-SURVEY.md §2.1 row 3: sigma_vb/dsigma arrays are first-class grid data)."""
+"""Stretched (non-uniform) sigma spacing: first-class on BOTH backends —
+the jnp operators consume grid.sigma_vb/dsigma generally, and the fused
+Pallas kernel reads them from its per-level VERT operand (round-3: the
+round-2 refusal guard is gone; SURVEY.md §2.1 row 3: sigma_vb/dsigma arrays
+are first-class grid data)."""
 
 import dataclasses
 
@@ -61,7 +63,22 @@ def test_stretched_runs_bounded():
     assert np.isfinite(np.asarray(out.pott)).all()
 
 
-def test_pallas_refuses_stretched_sigma():
-    cfg = _cfg(1.6).replace(backend="pallas")
-    with pytest.raises(NotImplementedError, match="uniform sigma"):
-        dynamics_step_fn(cfg)
+def test_pallas_stretched_matches_jnp():
+    """backend='pallas' (fused kernels, interpret mode on CPU) on a
+    STRETCHED grid equals the jnp backend — the kernel's VERT operand
+    carries the general sigma_vb/dsigma (VERDICT r2 missing #3)."""
+    from .test_dycore_vs_oracle import _jnp_state, _setup
+
+    cfg = _cfg(1.6)
+    st, fo, grid_np, grid = _setup(cfg)
+    state, forcing = _jnp_state(st, fo, cfg)
+    step_jnp = dynamics_step_fn(cfg)
+    step_pal = dynamics_step_fn(cfg.replace(backend="pallas"))
+    s_j = s_p = state
+    for _ in range(3):
+        s_j = step_jnp(s_j, grid, forcing)
+        s_p = step_pal(s_p, grid, forcing)
+    for name in ("u", "v", "colp", "pott", "qv", "qc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_p, name)), np.asarray(getattr(s_j, name)),
+            rtol=1e-10, atol=1e-11, err_msg=name)
