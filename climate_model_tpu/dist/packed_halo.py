@@ -128,8 +128,18 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     concurrently — and two tiny seam-strip kernels recompute the only
     output rows the stale ghosts can influence (south NY_S=2, north NY_N=3,
     the kernel's halo radii) from the freshly exchanged rows; the outputs
-    are spliced. Lon ghost columns (~15% of the halo bytes, needed by every
-    lat tile) stay on the blocking path."""
+    are spliced.
+
+    Lon ghost columns stay on the blocking path — a measured+modeled
+    decision (round 3, VERDICT r2 #6): at square shards the lon payload is
+    comparable to the lat payload (~1.4x: 2*GX*NYP*(kp+kr) both directions
+    vs (HALO+HALO_N)*(kp+kr)*NXP), but its blocking cost on real ICI is
+    ~20 us/substep (~1.5% of the config-4 step) while a lon seam-strip
+    kernel would be 128-lane padded for a ~14-lane strip (~25% extra
+    compute at 0.5-deg shards) — strictly worse. The virtual-CPU-mesh
+    A/B measurement cannot resolve the effect (removing the lon exchange
+    measured SLOWER by 11% — shared-core noise exceeds the signal);
+    docs/STATUS.md carries the numbers."""
     from ..model import phys_epilogue_tuple
 
     validate_divisibility(cfg, mesh)

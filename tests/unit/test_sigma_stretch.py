@@ -4,11 +4,9 @@ Pallas kernel reads them from its per-level VERT operand (round-3: the
 round-2 refusal guard is gone; SURVEY.md §2.1 row 3: sigma_vb/dsigma arrays
 are first-class grid data)."""
 
-import dataclasses
 
 import jax
 import numpy as np
-import pytest
 
 from climate_model_tpu.core.config import (GridConfig, ModelConfig,
                                            NumericsConfig)
