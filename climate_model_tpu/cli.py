@@ -70,6 +70,10 @@ def build_config(args) -> "ModelConfig":
     if getattr(args, "halo_overlap", None):
         cfg = cfg.replace(sharding=_dc.replace(
             cfg.sharding, halo_overlap=True))
+    if getattr(args, "diff", None) is not None:
+        cfg = cfg.replace(numerics=_dc.replace(
+            cfg.numerics, diff_uv=args.diff, diff_pott=args.diff,
+            diff_moist=args.diff))
     return cfg
 
 
@@ -284,6 +288,9 @@ def main(argv=None) -> int:
     pr.add_argument("--halo-overlap", action="store_true",
                     help="overlap halo exchange with interior compute "
                          "(shard_map mode)")
+    pr.add_argument("--diff", type=float, default=None,
+                    help="override all horizontal-diffusion coefficients "
+                         "[m2/s] (presets carry scale-aware defaults)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

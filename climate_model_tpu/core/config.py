@@ -91,8 +91,9 @@ class NumericsConfig:
     colp_tendency: bool = True          # i_colp_tendency
     moisture_tendency: bool = True      # i_moisture_tendency
     # Horizontal diffusion (numerical smoothing, reference UVFLX_dif_coef /
-    # POTT_hor_dif_tau analogues). Coefficients are nondimensional multiples
-    # of dx^2/dt-scaled Laplacian smoothing.
+    # POTT_hor_dif_tau analogues). Coefficients are diffusivities [m2 s-1]
+    # applied as COLP-weighted 5-point Laplacians (docs/NUMERICS.md); the
+    # production presets default them via ``default_diffusion`` below.
     diff_uv: float = 0.0
     diff_pott: float = 0.0
     diff_moist: float = 0.0
