@@ -2,12 +2,13 @@
 
 The reference validated stability by watching its per-step ``print_ts_info``
 max-wind line (SURVEY.md §4 row 1); this harness formalizes that as a
-CLI-drivable sweep. Round-2 postmortem: the 1-deg full-physics run went NaN
-at ~0.5 simulated days with the horizontal-diffusion coefficients at their
-then-default 0.0 — an instability that only bites at production grids (the
-coarse CI grids stay bounded with zero diffusion for thousands of steps), so
-it must be probed at/near production resolution. See docs/STATUS.md
-"Stability at production resolution".
+CLI-drivable sweep. It exists because of the round-2 postmortem: a 1-deg
+full-physics run went NaN at ~0.5 sim days; round-3 probes at production
+resolution showed the current (bitwise-seam-fixed) kernel is bounded for
+6+ sim days even with diffusion off, pinning the trigger on the pre-fix
+tile-seam noise — but only BECAUSE this probe could run the production
+grid cheaply on both backends. See docs/STATUS.md "Stability at production
+resolution" for the full evidence trail.
 
 ``probe_stability`` advances a config in chunks and reports the max-wind
 trajectory plus the first chunk (if any) where the state goes non-finite or

@@ -223,6 +223,10 @@ def cmd_bench(args) -> int:
         if cfg is None:
             from .core.config import baseline_config
             cfg = baseline_config(args.baseline)
+        if getattr(args, "halo_overlap", False):
+            import dataclasses as _dc
+            cfg = cfg.replace(sharding=_dc.replace(cfg.sharding,
+                                                   halo_overlap=True))
         result = measure_scaling(cfg, steps=args.steps)
     elif args.stability:
         import dataclasses as _dc
@@ -308,6 +312,9 @@ def main(argv=None) -> int:
                          "(stability probe)")
     pb.add_argument("--chunk", type=int, default=100,
                     help="steps per diagnostics fetch (stability probe)")
+    pb.add_argument("--halo-overlap", action="store_true",
+                    help="use the halo/compute-overlap schedule in the "
+                         "scaling measurement")
     pb.add_argument("--baseline", type=int, default=3)
     pb.add_argument("--steps", type=int, default=50)
     pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
