@@ -63,8 +63,11 @@ def _vpu_floor_s(cfg) -> float:
 
 
 def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
-                  repeats: int = 3, backend: str = "jnp") -> dict:
-    cfg = baseline_config(baseline).replace(dtype=dtype, backend=backend)
+                  repeats: int = 3, backend: str = None) -> dict:
+    cfg = baseline_config(baseline).replace(dtype=dtype)
+    if backend:
+        cfg = cfg.replace(backend=backend)
+    backend = cfg.backend
     state, forcing, grid = initialize(cfg)
     runner = make_chunk_runner(cfg, steps)
 

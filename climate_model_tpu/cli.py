@@ -317,7 +317,9 @@ def main(argv=None) -> int:
                          "scaling measurement")
     pb.add_argument("--baseline", type=int, default=3)
     pb.add_argument("--steps", type=int, default=50)
-    pb.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    pb.add_argument("--backend", default=None,
+                    choices=["jnp", "pallas"],
+                    help="override the preset's backend")
     pb.set_defaults(fn=cmd_bench)
 
     pp = sub.add_parser("profile",

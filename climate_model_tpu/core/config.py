@@ -174,6 +174,7 @@ def baseline_config(n: int) -> ModelConfig:
                 microphysics=True, radiation=True, surface=True, turbulence=True
             ),
             numerics=_diffused_numerics(360),
+            backend="pallas",
         )
     if n == 4:    # 0.5 deg, multi-host domain decomposition
         return ModelConfig(
@@ -183,6 +184,7 @@ def baseline_config(n: int) -> ModelConfig:
             ),
             numerics=_diffused_numerics(720),
             sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"),
+            backend="pallas",
         )
     if n == 5:    # 0.25 deg climatology
         return ModelConfig(
@@ -193,5 +195,6 @@ def baseline_config(n: int) -> ModelConfig:
             numerics=_diffused_numerics(1440),
             sharding=ShardingConfig(mesh_lat=4, mesh_lon=8, mode="shard_map"),
             sim_days=5.0,
+            backend="pallas",
         )
     raise ValueError(f"unknown baseline config {n}")

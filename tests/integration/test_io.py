@@ -179,3 +179,28 @@ def test_quicklook_plot(small_run, tmp_path):
     p = w.write(state, grid, forcing)
     png = quicklook_nc(p, str(tmp_path / "ql.png"))
     assert os.path.getsize(png) > 10_000
+
+
+def test_baseline_toml_presets_match_coded_presets():
+    """configs/baseline_{1..5}.toml must agree with core.config.baseline_config
+    on grid, physics switches, sharding, and the scale-aware diffusion
+    defaults — guards the two preset sources against drifting apart."""
+    import os
+
+    from climate_model_tpu.core.config import baseline_config
+    from climate_model_tpu.core.namelist import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..", "configs")
+    for n in range(1, 6):
+        toml_cfg = load_config(os.path.join(root, f"baseline_{n}.toml"))
+        code_cfg = baseline_config(n)
+        assert toml_cfg.grid == code_cfg.grid, n
+        assert toml_cfg.physics == code_cfg.physics, n
+        assert toml_cfg.sharding == code_cfg.sharding, n
+        for f in ("diff_uv", "diff_pott", "diff_moist"):
+            tv = getattr(toml_cfg.numerics, f)
+            cv = getattr(code_cfg.numerics, f)
+            assert abs(tv - cv) <= 1e-9 * max(abs(cv), 1.0), (n, f, tv, cv)
+        assert (toml_cfg.numerics.moisture_tendency
+                == code_cfg.numerics.moisture_tendency), n
+        assert toml_cfg.backend == code_cfg.backend, n
