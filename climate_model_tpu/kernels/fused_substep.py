@@ -270,12 +270,29 @@ def _cumsum_k(x):
     return x
 
 
+_MXU_SCAN = os.environ.get("CLIMATE_TPU_MXU_SCAN", "0") == "1"
+
+
 def _cumsum_k2(x, n: int):
     """TWO independent inclusive prefix sums along axis 1 in one fused
     doubling scan: ``x`` is (rows, 2n, lanes) holding two n-long segments.
     The shifted operand is built as a segment-respecting 4-part concat, so
     each step is still one concat + one add — same adds per element as two
-    separate ``_cumsum_k`` calls, half the op dispatches."""
+    separate ``_cumsum_k`` calls, half the op dispatches.
+
+    CLIMATE_TPU_MXU_SCAN=1 swaps in an MXU formulation: one matmul against
+    a 0/1 block-triangular matrix (exact in fp32 at precision=HIGHEST —
+    products with 0/1 are exact; fp32 accumulation in a fixed order). The
+    standalone probe measured it 0.87x the doubling scan, but inside the
+    fused kernel the matmul can overlap independent VPU chains — measured
+    via this flag (docs/STATUS.md round-3 probe log)."""
+    if _MXU_SCAN:
+        n2 = 2 * n
+        r = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
+        t = jnp.where((r >= cc) & ((r // n) == (cc // n)), 1.0, 0.0) \
+            .astype(x.dtype)
+        return jnp.matmul(t, x, precision=jax.lax.Precision.HIGHEST)
     shift = 1
     while shift < n:
         z = jnp.zeros_like(x[:, :shift])
