@@ -74,6 +74,9 @@ def build_config(args) -> "ModelConfig":
         cfg = cfg.replace(numerics=_dc.replace(
             cfg.numerics, diff_uv=args.diff, diff_pott=args.diff,
             diff_moist=args.diff))
+    if getattr(args, "adaptive_dt", False):
+        cfg = cfg.replace(numerics=_dc.replace(cfg.numerics,
+                                               adaptive_dt=True))
     return cfg
 
 
@@ -88,6 +91,13 @@ def cmd_run(args) -> int:
     from .io.netcdf import NCWriter
 
     cfg = build_config(args)
+    if cfg.numerics.adaptive_dt and cfg.backend == "pallas":
+        # The fused kernel bakes dt as a static Mosaic constant; re-baking
+        # per chunk would recompile (~10 min on TPU). Refuse loudly rather
+        # than silently running fixed-dt.
+        print("error: --adaptive-dt requires backend=jnp (the fused Pallas "
+              "kernel bakes dt as a static compile-time constant)")
+        return 2
     if getattr(args, "multihost", False):
         # DCN multi-host runtime (SURVEY.md §2.2 comm-backend row): each
         # process owns its local TPU devices; collectives ride ICI within a
@@ -118,6 +128,9 @@ def cmd_run(args) -> int:
     writer = NCWriter(args.out_dir) if args.out_dir else None
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
+
+    # (before sharding: a sharded grid.dx may not be fully addressable)
+    min_dx = float(min(jax.numpy.min(grid.dx), grid.dy))
 
     # --- multi-device domain decomposition (BASELINE configs #4/#5) ---
     sh = cfg.sharding
@@ -150,18 +163,18 @@ def cmd_run(args) -> int:
                                                n_steps=chunk)
 
         @jax.jit
-        def run_chunk(s):
-            s = sharded_run(s, grid, forcing)
-            return s, diagnostics(s, grid, forcing, cfg)
+        def run_chunk(s, g):
+            s = sharded_run(s, g, forcing)
+            return s, diagnostics(s, g, forcing, cfg)
     else:
         # single device, or GSPMD auto-partitioning over sharded inputs
         from .model import make_chunk_runner
         runner = make_chunk_runner(cfg, chunk)
 
         @jax.jit
-        def run_chunk(s):
-            s = runner(s, grid, forcing)
-            return s, diagnostics(s, grid, forcing, cfg)
+        def run_chunk(s, g):
+            s = runner(s, g, forcing)
+            return s, diagnostics(s, g, forcing, cfg)
 
     mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"
                  if mesh is not None else "")
@@ -172,14 +185,29 @@ def cmd_run(args) -> int:
     done = int(state.step)      # nonzero on resume: run the REMAINDER
     restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
     next_restart = (done // restart_every + 1) * restart_every
-    while done < n_total:
-        state, diag = run_chunk(state)
+    # Adaptive dt (reference solver.py per-step CFL/max-wind dt, SURVEY.md
+    # §3.1): re-evaluated per chunk from the chunk diagnostics' max wind —
+    # no extra device sync. The horizon becomes sim-time-based; output/
+    # restart cadences stay step-based from the initial dt.
+    adaptive = cfg.numerics.adaptive_dt
+    horizon = cfg.sim_days * 86400.0
+    import dataclasses as _dc
+    while (float(state.t) < horizon - 1e-6) if adaptive else (done < n_total):
+        state, diag = run_chunk(state, grid)
         state = jax.block_until_ready(state)
         done += chunk
-        rec = logger.log_chunk(diag)
+        rec = logger.log_chunk(
+            diag, extra={"dt": float(grid.dt)} if adaptive else None)
         if rec["nan"]:
             print("!! non-finite state detected; aborting", flush=True)
             return 2
+        if adaptive:
+            from .core.grid import adaptive_cfl_dt
+            dt_new = adaptive_cfl_dt(min_dx, cfg.numerics.cfl,
+                                     rec["max_wind"])
+            dt_new = max(dt_new, 0.05 * dt)   # floor against a wind spike
+            grid = _dc.replace(grid, dt=jax.numpy.asarray(
+                dt_new, grid.dt.dtype))
         if writer:
             writer.write(state, grid, forcing)
         if args.out_dir and done >= next_restart:
@@ -295,6 +323,9 @@ def main(argv=None) -> int:
     pr.add_argument("--diff", type=float, default=None,
                     help="override all horizontal-diffusion coefficients "
                          "[m2/s] (presets carry scale-aware defaults)")
+    pr.add_argument("--adaptive-dt", action="store_true",
+                    help="recompute dt per chunk from CFL and the current "
+                         "max wind (reference per-step dt; jnp backend)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -86,6 +86,12 @@ class NumericsConfig:
     time_stepping: str = "matsuno"      # 'matsuno' | 'rk4' | 'euler'
     cfl: float = 0.7
     dt: Optional[float] = None          # fixed dt [s]; None -> derive from CFL at init
+    # Reference solver.py recomputes dt every step from CFL and the current
+    # max wind (SURVEY.md §3.1 hot loop #0). Rebuilt as a per-scan-chunk
+    # recomputation on the host (the chunk diagnostics already fetch max
+    # wind, so this costs no extra sync — §3.1 rebuild note). jnp backend
+    # only: the fused Pallas kernel bakes dt as a static Mosaic constant.
+    adaptive_dt: bool = False
     wind_tendency: bool = True          # i_wind_tendency
     temperature_tendency: bool = True   # i_temperature_tendency
     colp_tendency: bool = True          # i_colp_tendency

@@ -79,6 +79,17 @@ class Grid:
     ptop: float = dataclasses.field(metadata=dict(static=True))
 
 
+def adaptive_cfl_dt(min_dx: float, cfl: float, max_wind: float) -> float:
+    """dt from the CFL bound at the current max wind (reference solver.py
+    ``dt = CFL * min(dx) / wind-speed scale``, SURVEY.md §3.1 hot loop #0):
+    external-gravity-wave speed sqrt(g*H) plus the advective speed. At init
+    ``max_wind=100`` is the fixed safety margin; with
+    ``NumericsConfig.adaptive_dt`` the driver re-evaluates this per scan
+    chunk with the measured max wind."""
+    c_grav = float(np.sqrt(c.G * 10_000.0))
+    return float(cfl) * float(min_dx) / (c_grav + float(max_wind))
+
+
 def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
               dtype=jnp.float32, np_mode: bool = False) -> Grid:
     """Build the grid geometry.
@@ -138,8 +149,7 @@ def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,
     if num.dt is not None:
         dt = float(num.dt)
     else:
-        c_grav = np.sqrt(c.G * 10_000.0) + 100.0   # fast wave + advection margin
-        dt = float(num.cfl * min(dx.min(), dy) / c_grav)
+        dt = adaptive_cfl_dt(float(min(dx.min(), dy)), num.cfl, 100.0)
 
     arrays = dict(
         lat=lat, lats=lats, lon=lon, lonu=lonu, dx=dx, dxs=dxs,

@@ -68,10 +68,11 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
     ``(heat, swflx_sfc, lwflx_sfc, f_up_toa, olr)`` where ``heat`` is the
     layer heating dT/dt [K s-1] (divide by PVTF for dPOTTdt).
 
-    The LW sweeps are unrolled python loops over nz slices (identical
-    float-op sequence to a ``lax.scan``; nz <= 32 so trace size is fine and
-    the packed layout cannot scan over a non-leading axis without
-    transposes)."""
+    The LW sweeps are first-order affine recurrences (F' = a*F + c with
+    a = 1-eps, c = eps*B) evaluated as log-depth ``lax.associative_scan``
+    compositions over the level axis: big contiguous-chunk ops instead of
+    nz sequential per-level thin slices (the thin (ny,1,nx) op shape is the
+    expensive one on the packed TPU layout — docs/STATUS.md probe log)."""
     import functools
 
     cat = functools.partial(jnp.concatenate, axis=kax)
@@ -100,22 +101,25 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
     eps = 1.0 - jnp.exp(-1.66 * (K_LW_QV * qv + K_LW_DRY + K_LW_QC * qc)
                         * mass)
     b = c.SIGMA_SB * tair ** 4
+    a, e_b = 1.0 - eps, eps * b
+
+    def affine_compose(p, q):
+        # (a1,c1) then (a2,c2): x -> a2*(a1*x + c1) + c2
+        a1, c1 = p
+        a2, c2 = q
+        return a1 * a2, c1 * a2 + c2
+
     # downward sweep: D[0] = 0; D[k+1] = D[k]*(1-eps_k) + eps_k*B_k
-    d = jnp.zeros_like(b_sfc)
-    f_dn_lw = [d]
-    for k in range(nz):
-        e, bb = sl(eps, k, k + 1), sl(b, k, k + 1)
-        d = d * (1.0 - e) + e * bb
-        f_dn_lw.append(d)
-    f_dn_lw = cat(f_dn_lw)                                  # borders 0..nz
-    # upward sweep from the (emissivity-1) surface at tsurf
-    up = b_sfc
-    f_up_lw = [up]
-    for k in range(nz - 1, -1, -1):
-        e, bb = sl(eps, k, k + 1), sl(b, k, k + 1)
-        up = up * (1.0 - e) + e * bb
-        f_up_lw.append(up)
-    f_up_lw = cat(f_up_lw[::-1])
+    #   => D[k+1] is the prefix-composed offset term (zero initial value)
+    _, c_dn = jax.lax.associative_scan(affine_compose, (a, e_b), axis=kax)
+    zeros = jnp.zeros_like(sl(c_dn, 0, 1))
+    f_dn_lw = cat([zeros, c_dn])                            # borders 0..nz
+    # upward sweep from the (emissivity-1) surface at tsurf:
+    #   U[nz] = B_sfc; U[k] = U[k+1]*(1-eps_k) + eps_k*B_k
+    a_up, c_up = jax.lax.associative_scan(
+        affine_compose, (jnp.flip(a, kax), jnp.flip(e_b, kax)), axis=kax)
+    f_up_lw = cat([jnp.flip(a_up, kax) * b_sfc + jnp.flip(c_up, kax),
+                   b_sfc])                                  # borders 0..nz
 
     net_up = f_up_lw - f_dn_lw                              # borders 0..nz
     # layer k gains net_up[k+1] - net_up[k]

@@ -1,0 +1,45 @@
+"""Adaptive dt (reference solver.py per-step CFL/max-wind dt, SURVEY.md
+§3.1 hot loop #0): rebuilt as a per-chunk host-side recomputation.
+"""
+
+import json
+import os
+
+import pytest
+
+from climate_model_tpu.cli import main
+from climate_model_tpu.core.config import GridConfig, ModelConfig
+from climate_model_tpu.core.grid import adaptive_cfl_dt, make_grid
+
+
+def test_adaptive_dt_run(tmp_path):
+    rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "4",
+               "--days", "0.05", "--adaptive-dt",
+               "--out-every-hours", "0.4",
+               "--out-dir", str(tmp_path)])
+    assert rc == 0
+    recs = [json.loads(line)
+            for line in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    assert recs and all(not r["nan"] for r in recs)
+    # the run covers the sim-time horizon even though dt changed mid-run
+    assert recs[-1]["t_days"] >= 0.05 - 1e-9
+
+    cfg = ModelConfig(grid=GridConfig(nx=32, ny=16, nz=4))
+    grid = make_grid(cfg.grid, cfg.numerics)
+    dt0 = float(grid.dt)
+    # every chunk logs the dt it ran with; the first chunk runs the init dt
+    assert recs[0]["dt"] == pytest.approx(dt0, rel=1e-6)
+    # with the initial jet's max wind below the fixed 100 m/s init margin,
+    # the adaptive dt is larger than the init dt and matches the formula
+    min_dx = float(min(grid.dx.min(), grid.dy))
+    expect = adaptive_cfl_dt(min_dx, cfg.numerics.cfl, recs[0]["max_wind"])
+    assert recs[1]["dt"] == pytest.approx(expect, rel=1e-6)
+    assert recs[1]["dt"] > dt0
+
+
+def test_adaptive_dt_refuses_pallas(tmp_path, capsys):
+    rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "4",
+               "--days", "0.01", "--adaptive-dt", "--backend", "pallas",
+               "--out-dir", str(tmp_path)])
+    assert rc == 2
+    assert "adaptive-dt requires backend=jnp" in capsys.readouterr().out
