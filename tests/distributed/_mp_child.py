@@ -1,0 +1,83 @@
+"""Child process for the TRUE multi-process DCN test (run by
+``test_multiprocess_dcn.py``, not collected by pytest).
+
+Each process owns 4 virtual CPU devices; ``jax.distributed.initialize``
+connects them into one 8-device system (collectives ride Gloo here, ICI/DCN
+on a real pod — same XLA program either way, SURVEY.md §2.2 comm-backend
+row). Exercises the full production multi-host surface: global device_put,
+shard_map+ppermute halo step, process_allgather, per-process checkpoint
+shard saving + reassembling load, and the host-0 NetCDF writer.
+"""
+
+import os
+import sys
+
+pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import numpy as np
+from jax.experimental import multihost_utils
+
+from climate_model_tpu.core.config import (GridConfig, ModelConfig,
+                                           PhysicsConfig, ShardingConfig)
+from climate_model_tpu.core.init import initialize
+from climate_model_tpu.dist.halo import make_sharded_step_fn
+from climate_model_tpu.dist.mesh import make_mesh
+from climate_model_tpu.dist.sharding import shard_inputs
+from climate_model_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from climate_model_tpu.io.netcdf import NCWriter
+from climate_model_tpu.model import make_chunk_runner
+
+cfg = ModelConfig(
+    grid=GridConfig(nx=32, ny=16, nz=8), dtype="float64",
+    physics=PhysicsConfig(microphysics=True),
+    sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"))
+state, forcing, grid = initialize(cfg)
+
+# unsharded reference, local to this process (init is fp64-deterministic,
+# so every process computes the identical reference)
+with jax.default_device(jax.local_devices()[0]):
+    ref = jax.block_until_ready(
+        jax.jit(make_chunk_runner(cfg, 5))(state, grid, forcing))
+
+mesh = make_mesh(cfg)
+s, g, f = shard_inputs(mesh, state, grid, forcing)
+run = make_sharded_step_fn(cfg, mesh, g, n_steps=5)
+out = jax.block_until_ready(jax.jit(run)(s, g, f))
+
+u = multihost_utils.process_allgather(out.u, tiled=True)
+colp = multihost_utils.process_allgather(out.colp, tiled=True)
+qv = multihost_utils.process_allgather(out.qv, tiled=True)
+np.testing.assert_allclose(u, np.asarray(ref.u), rtol=1e-12, atol=1e-12)
+np.testing.assert_allclose(colp, np.asarray(ref.colp), rtol=1e-12, atol=1e-12)
+np.testing.assert_allclose(qv, np.asarray(ref.qv), rtol=1e-12, atol=1e-15)
+
+# per-process checkpoint shard saving (auto-detected via process_count) ...
+ckpt = os.path.join(outdir, "restart.npz")
+save_checkpoint(ckpt, out, cfg)
+multihost_utils.sync_global_devices("ckpt saved")
+assert os.path.exists(f"{ckpt}.p{pid}")
+# ... reassembled bit-exactly on load (on every process)
+back = load_checkpoint(ckpt, cfg)
+np.testing.assert_array_equal(np.asarray(back.u), u)
+np.testing.assert_array_equal(np.asarray(back.colp), colp)
+
+# host-0 NetCDF writer (allgather is a collective: all processes join)
+writer = NCWriter(outdir)
+path = writer.write(out, g, f)
+if pid == 0:
+    assert path and os.path.exists(path)
+    assert os.path.exists(os.path.join(outdir, "constants.nc"))
+else:
+    assert path is None
+
+print(f"CHILD{pid} OK", flush=True)
