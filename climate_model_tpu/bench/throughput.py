@@ -25,7 +25,7 @@ def _vpu_floor_s(cfg) -> float:
     import jax.numpy as jnp
 
     from ..core.grid import make_grid
-    from ..kernels.fused_substep import (K2, NGEO, NVERT, lane_pad, make_vert,
+    from ..kernels.fused_substep import (K2, NGEO, lane_pad, make_vert,
                                          make_fused_substep_packed,
                                          pick_block_rows, prog_k, radf_k,
                                          row_pad)

@@ -121,10 +121,13 @@ def cmd_run(args) -> int:
     n_total = int(cfg.sim_days * 86400.0 / dt)
     chunk = max(int(cfg.out_every_hours * 3600.0 / dt), 1)
     gc = cfg.grid
+    # diagnostics are replicated: log/print on process 0 only (SURVEY.md §5
+    # metrics row: "step-line (throttled, host 0)")
+    p0 = jax.process_index() == 0
     logger = MetricsLogger(
         jsonl_path=os.path.join(args.out_dir, "metrics.jsonl")
-        if args.out_dir else None,
-        grid_points=gc.nx * gc.ny * gc.nz)
+        if args.out_dir and p0 else None,
+        grid_points=gc.nx * gc.ny * gc.nz, quiet=not p0)
     writer = NCWriter(args.out_dir) if args.out_dir else None
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
@@ -152,6 +155,9 @@ def cmd_run(args) -> int:
         mesh = make_mesh(cfg)
         state, grid, forcing = shard_inputs(mesh, state, grid, forcing)
 
+    # grid/forcing ride as jit ARGUMENTS below: closing over a multi-process
+    # sharded array is a jit error (non-addressable constant), and the
+    # adaptive-dt loop swaps grid.dt between chunks without retracing.
     if mesh is not None and sh.mode == "shard_map":
         if cfg.backend == "pallas":
             from .dist.packed_halo import make_packed_sharded_runner
@@ -163,24 +169,25 @@ def cmd_run(args) -> int:
                                                n_steps=chunk)
 
         @jax.jit
-        def run_chunk(s, g):
-            s = sharded_run(s, g, forcing)
-            return s, diagnostics(s, g, forcing, cfg)
+        def run_chunk(s, g, f):
+            s = sharded_run(s, g, f)
+            return s, diagnostics(s, g, f, cfg)
     else:
         # single device, or GSPMD auto-partitioning over sharded inputs
         from .model import make_chunk_runner
         runner = make_chunk_runner(cfg, chunk)
 
         @jax.jit
-        def run_chunk(s, g):
-            s = runner(s, g, forcing)
-            return s, diagnostics(s, g, forcing, cfg)
+        def run_chunk(s, g, f):
+            s = runner(s, g, f)
+            return s, diagnostics(s, g, f, cfg)
 
     mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"
                  if mesh is not None else "")
-    print(f"grid {gc.nx}x{gc.ny}x{gc.nz}  dt={dt:.1f}s  steps={n_total}  "
-          f"chunk={chunk}  device={jax.devices()[0].platform}{mesh_info}",
-          flush=True)
+    if p0:
+        print(f"grid {gc.nx}x{gc.ny}x{gc.nz}  dt={dt:.1f}s  steps={n_total}  "
+              f"chunk={chunk}  device={jax.devices()[0].platform}{mesh_info}",
+              flush=True)
     t0 = time.time()
     done = int(state.step)      # nonzero on resume: run the REMAINDER
     restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
@@ -193,7 +200,7 @@ def cmd_run(args) -> int:
     horizon = cfg.sim_days * 86400.0
     import dataclasses as _dc
     while (float(state.t) < horizon - 1e-6) if adaptive else (done < n_total):
-        state, diag = run_chunk(state, grid)
+        state, diag = run_chunk(state, grid, forcing)
         state = jax.block_until_ready(state)
         done += chunk
         rec = logger.log_chunk(
@@ -216,8 +223,9 @@ def cmd_run(args) -> int:
             next_restart += restart_every
     wall = time.time() - t0
     gps = gc.nx * gc.ny * gc.nz * done / wall
-    print(f"done: {done} steps in {wall:.1f}s  "
-          f"({gps/1e6:.2f} M grid-points/s)", flush=True)
+    if p0:
+        print(f"done: {done} steps in {wall:.1f}s  "
+              f"({gps/1e6:.2f} M grid-points/s)", flush=True)
     if args.out_dir:
         save_checkpoint(os.path.join(args.out_dir, "restart.npz"), state, cfg)
     return 0
@@ -252,23 +260,25 @@ def cmd_bench(args) -> int:
             from .core.config import baseline_config
             cfg = baseline_config(args.baseline)
         if getattr(args, "halo_overlap", False):
+            if cfg.backend != "pallas":
+                # only the packed-Pallas path implements the explicit
+                # overlap schedule (dist/packed_halo.py); refuse rather
+                # than print a "measurement" of the blocking path
+                print("error: --halo-overlap requires backend=pallas "
+                      "(dist/halo.py's jnp path has no explicit overlap "
+                      "schedule to measure)")
+                return 2
             import dataclasses as _dc
             cfg = cfg.replace(sharding=_dc.replace(cfg.sharding,
                                                    halo_overlap=True))
         result = measure_scaling(cfg, steps=args.steps)
     elif args.stability:
-        import dataclasses as _dc
-
         from .bench.stability import probe_stability
         from .core.config import baseline_config
-        cfg = build_config(args) if args.config else baseline_config(
-            args.baseline)
-        if args.dtype:
-            cfg = cfg.replace(dtype=args.dtype)
-        if args.diff is not None:
-            cfg = cfg.replace(numerics=_dc.replace(
-                cfg.numerics, diff_uv=args.diff, diff_pott=args.diff,
-                diff_moist=args.diff))
+        # build_config handles --config/--baseline and the --dtype/--diff
+        # overrides; only --backend is bench-specific here
+        args.baseline = args.baseline or 3
+        cfg = build_config(args)
         if args.backend:
             cfg = cfg.replace(backend=args.backend)
         result = probe_stability(cfg, steps=args.steps, chunk=args.chunk)

@@ -80,4 +80,27 @@ if pid == 0:
 else:
     assert path is None
 
+# --- the CLI driver itself on the live multi-process runtime: cmd_run's
+# multihost surface (grid/forcing as jit arguments — a closed-over
+# non-addressable array is a jit error; host-0-only logger + NetCDF;
+# per-process checkpoint shards). --multihost is omitted only because this
+# process already called jax.distributed.initialize.
+import json
+
+from climate_model_tpu.cli import main
+
+rundir = os.path.join(outdir, "cli")
+rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "8",
+           "--physics", "mic", "--days", "0.05", "--dtype", "float64",
+           "--mesh-lat", "2", "--mesh-lon", "4",
+           "--sharding-mode", "shard_map", "--out-every-hours", "0.2",
+           "--out-dir", rundir])
+assert rc == 0
+multihost_utils.sync_global_devices("cli run done")
+assert os.path.exists(os.path.join(rundir, f"restart.npz.p{pid}"))
+recs = [json.loads(line)
+        for line in open(os.path.join(rundir, "metrics.jsonl"))]
+assert recs and not any(r["nan"] for r in recs)
+assert os.path.exists(os.path.join(rundir, "out_0000.nc"))
+
 print(f"CHILD{pid} OK", flush=True)
