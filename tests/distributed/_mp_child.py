@@ -80,6 +80,23 @@ if pid == 0:
 else:
     assert path is None
 
+# --- packed fused-kernel path (interpret mode on CPU; Mosaic on a real
+# slice): supertensor ghost refresh now rides CROSS-PROCESS collectives ---
+
+from climate_model_tpu.dist.packed_halo import make_packed_sharded_runner
+
+cfgp = cfg.replace(backend="pallas", dtype="float32")
+statep, forcingp, gridp = initialize(cfgp)
+sp, gp, fp = shard_inputs(mesh, statep, gridp, forcingp)
+runp = make_packed_sharded_runner(cfgp, mesh, gp, n_steps=2)
+outp = jax.block_until_ready(runp(sp, gp, fp))
+u_p = multihost_utils.process_allgather(outp.u, tiled=True)
+# local unsharded reference through the same packed-kernel scan
+with jax.default_device(jax.local_devices()[0]):
+    refp = jax.block_until_ready(
+        jax.jit(make_chunk_runner(cfgp, 2))(statep, gridp, forcingp))
+np.testing.assert_allclose(u_p, np.asarray(refp.u), rtol=0, atol=1e-6)
+
 # --- the CLI driver itself on the live multi-process runtime: cmd_run's
 # multihost surface (grid/forcing as jit arguments — a closed-over
 # non-addressable array is a jit error; host-0-only logger + NetCDF;
