@@ -118,8 +118,8 @@ def cmd_run(args) -> int:
         print(f"resumed from {restart_from} at step {int(state.step)}")
 
     dt = float(grid.dt)
-    n_total = int(cfg.sim_days * 86400.0 / dt)
-    chunk = max(int(cfg.out_every_hours * 3600.0 / dt), 1)
+    n_total = max(int(cfg.sim_days * 86400.0 / dt), 1)
+    chunk = min(max(int(cfg.out_every_hours * 3600.0 / dt), 1), n_total)
     gc = cfg.grid
     # diagnostics are replicated: log/print on process 0 only (SURVEY.md §5
     # metrics row: "step-line (throttled, host 0)")
@@ -128,7 +128,8 @@ def cmd_run(args) -> int:
         jsonl_path=os.path.join(args.out_dir, "metrics.jsonl")
         if args.out_dir and p0 else None,
         grid_points=gc.nx * gc.ny * gc.nz, quiet=not p0)
-    writer = NCWriter(args.out_dir) if args.out_dir else None
+    writer = (NCWriter(args.out_dir)
+              if args.out_dir and not getattr(args, "no_nc", False) else None)
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
@@ -336,6 +337,10 @@ def main(argv=None) -> int:
     pr.add_argument("--adaptive-dt", action="store_true",
                     help="recompute dt per chunk from CFL and the current "
                          "max wind (reference per-step dt; jnp backend)")
+    pr.add_argument("--no-nc", action="store_true",
+                    help="skip NetCDF field dumps (JSONL metrics + restart "
+                         "checkpoints only — e.g. when the device->host "
+                         "link is slow relative to the field volume)")
     pr.set_defaults(fn=cmd_run)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
