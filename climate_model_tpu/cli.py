@@ -233,9 +233,12 @@ def cmd_run(args) -> int:
 
 
 def cmd_plot(args) -> int:
-    from .io.plot import quicklook_nc
+    from .io.plot import quicklook_nc, quicklook_npz
     out = args.out or (args.nc.rsplit(".", 1)[0] + ".png")
-    print(quicklook_nc(args.nc, out, level=args.level))
+    if args.nc.endswith(".npz"):        # restart checkpoint (--no-nc runs)
+        print(quicklook_npz(args.nc, out, level=args.level))
+    else:
+        print(quicklook_nc(args.nc, out, level=args.level))
     return 0
 
 

@@ -27,7 +27,24 @@ def quicklook_nc(nc_path: str, png_path: str, level: int = -1) -> str:
     return _render(u, v, tair, qv, psurf, rain, t_days, png_path, level)
 
 
-def _render(u, v, tair, qv, psurf, rain, t_days, png_path, level=-1) -> str:
+def quicklook_npz(npz_path: str, png_path: str, level: int = -1,
+                  ptop: float = 10_000.0) -> str:
+    """Render a quicklook PNG straight from a restart checkpoint
+    (``--no-nc`` runs keep metrics + restarts only — e.g. when the
+    device->host link is too slow for field dumps). The temperature panel
+    shows POTT (computing TAIR would need the sigma/Exner geometry that a
+    State-only checkpoint does not carry)."""
+    with np.load(npz_path) as z:
+        u, v, pott, qv = z["u"], z["v"], z["pott"], z["qv"]
+        psurf = z["colp"] + ptop
+        rain = z["rain"]
+        t_days = float(z["t"]) / 86400.0
+    return _render(u, v, pott, qv, psurf, rain, t_days, png_path, level,
+                   temp_name="POTT")
+
+
+def _render(u, v, tair, qv, psurf, rain, t_days, png_path, level=-1,
+            temp_name="TAIR") -> str:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -48,7 +65,7 @@ def _render(u, v, tair, qv, psurf, rain, t_days, png_path, level=-1) -> str:
     ax = axes[0, 1]
     m = ax.pcolormesh(lon, lat, tair[level], cmap="RdYlBu_r", shading="auto")
     fig.colorbar(m, ax=ax, label="K")
-    ax.set_title("TAIR")
+    ax.set_title(temp_name)
 
     ax = axes[1, 0]
     m = ax.pcolormesh(lon, lat, 1e3 * qv[level], cmap="Blues", shading="auto")
