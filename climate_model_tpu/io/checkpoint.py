@@ -24,7 +24,18 @@ from ..core.state import State
 
 
 def config_fingerprint(cfg: ModelConfig) -> str:
-    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    """Hash of the config fields that define the STATE's shape and meaning:
+    grid, physics, numerics, dtype. Deliberately EXCLUDES run length /
+    output cadence / device layout / seed — extending a run (``--days 8``
+    after a 4-day save), resharding onto a different mesh or process count
+    (load reassembles global arrays; callers re-shard), switching backend
+    (jnp <-> pallas hold identical States), or retiming outputs are all
+    legitimate resumes. The reference's pickle restart checked nothing."""
+    sub = dict(grid=dataclasses.asdict(cfg.grid),
+               physics=dataclasses.asdict(cfg.physics),
+               numerics=dataclasses.asdict(cfg.numerics),
+               dtype=cfg.dtype)
+    blob = json.dumps(sub, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

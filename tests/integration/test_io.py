@@ -204,3 +204,28 @@ def test_baseline_toml_presets_match_coded_presets():
         assert (toml_cfg.numerics.moisture_tendency
                 == code_cfg.numerics.moisture_tendency), n
         assert toml_cfg.backend == code_cfg.backend, n
+
+
+def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
+    """The fingerprint covers state semantics (grid/physics/numerics/dtype)
+    only: extending the horizon, changing output cadence, switching
+    backend, or resharding are legitimate resumes; a changed diffusion
+    coefficient is not."""
+    import dataclasses
+
+    from climate_model_tpu.core.config import ShardingConfig
+
+    cfg, state, forcing, grid = small_run
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, state, cfg)
+    extended = cfg.replace(
+        sim_days=cfg.sim_days * 8, out_every_hours=1.0, backend="pallas",
+        seed=cfg.seed + 1,
+        sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"))
+    assert config_fingerprint(extended) == config_fingerprint(cfg)
+    back = load_checkpoint(path, extended)
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(state.u))
+    retuned = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, diff_uv=12345.0))
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_checkpoint(path, retuned)
