@@ -43,3 +43,16 @@ def test_adaptive_dt_refuses_pallas(tmp_path, capsys):
                "--out-dir", str(tmp_path)])
     assert rc == 2
     assert "adaptive-dt requires backend=jnp" in capsys.readouterr().out
+
+
+def test_no_nc_run_and_npz_quicklook(tmp_path):
+    """--no-nc keeps metrics + restart only; plot renders straight from the
+    checkpoint (the slow-device-link workflow, README usage)."""
+    rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "4",
+               "--days", "0.02", "--no-nc", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["metrics.jsonl", "restart.npz"]   # no .nc dumps
+    rc = main(["plot", str(tmp_path / "restart.npz")])
+    assert rc == 0
+    assert (tmp_path / "restart.png").exists()
