@@ -47,9 +47,9 @@ def build_config(args) -> "ModelConfig":
                 turbulence=phys_on or "turb" in args.physics),
             numerics=NumericsConfig(time_stepping=args.stepper),
         )
-    if args.dtype:
+    if getattr(args, "dtype", None):
         cfg = cfg.replace(dtype=args.dtype)
-    if args.days is not None:
+    if getattr(args, "days", None) is not None:
         cfg = cfg.replace(sim_days=args.days)
     if getattr(args, "out_every_hours", None) is not None:
         cfg = cfg.replace(out_every_hours=args.out_every_hours)
@@ -159,29 +159,39 @@ def cmd_run(args) -> int:
     # grid/forcing ride as jit ARGUMENTS below: closing over a multi-process
     # sharded array is a jit error (non-addressable constant), and the
     # adaptive-dt loop swaps grid.dt between chunks without retracing.
-    if mesh is not None and sh.mode == "shard_map":
-        if cfg.backend == "pallas":
-            from .dist.packed_halo import make_packed_sharded_runner
-            sharded_run = make_packed_sharded_runner(cfg, mesh, grid,
-                                                     n_steps=chunk)
+    # Programs are built per scan length: the horizon rarely divides into
+    # whole chunks, so the final partial chunk gets its own (cached)
+    # program and the run executes EXACTLY the requested steps.
+    shard_mapped = mesh is not None and sh.mode == "shard_map"
+
+    def build_run(n_steps: int):
+        if shard_mapped:
+            if cfg.backend == "pallas":
+                from .dist.packed_halo import make_packed_sharded_runner
+                stepper = make_packed_sharded_runner(cfg, mesh, grid,
+                                                     n_steps=n_steps)
+            else:
+                from .dist.halo import make_sharded_step_fn
+                stepper = make_sharded_step_fn(cfg, mesh, grid,
+                                               n_steps=n_steps)
         else:
-            from .dist.halo import make_sharded_step_fn
-            sharded_run = make_sharded_step_fn(cfg, mesh, grid,
-                                               n_steps=chunk)
+            # single device, or GSPMD auto-partitioning over sharded inputs
+            from .model import make_chunk_runner
+            stepper = make_chunk_runner(cfg, n_steps)
 
         @jax.jit
         def run_chunk(s, g, f):
-            s = sharded_run(s, g, f)
+            s = stepper(s, g, f)
             return s, diagnostics(s, g, f, cfg)
-    else:
-        # single device, or GSPMD auto-partitioning over sharded inputs
-        from .model import make_chunk_runner
-        runner = make_chunk_runner(cfg, chunk)
 
-        @jax.jit
-        def run_chunk(s, g, f):
-            s = runner(s, g, f)
-            return s, diagnostics(s, g, f, cfg)
+        return run_chunk
+
+    programs = {}
+
+    def run_for(n_steps: int):
+        if n_steps not in programs:
+            programs[n_steps] = build_run(n_steps)
+        return programs[n_steps]
 
     mesh_info = (f"  mesh={sh.mesh_lat}x{sh.mesh_lon} ({sh.mode})"
                  if mesh is not None else "")
@@ -190,7 +200,8 @@ def cmd_run(args) -> int:
               f"chunk={chunk}  device={jax.devices()[0].platform}{mesh_info}",
               flush=True)
     t0 = time.time()
-    done = int(state.step)      # nonzero on resume: run the REMAINDER
+    start = done = int(state.step)   # nonzero on resume: run the REMAINDER
+    logger._step_last = done         # gp/s accounting = THIS session's steps
     restart_every = max(int(cfg.restart_every_days * 86400.0 / dt), 1)
     next_restart = (done // restart_every + 1) * restart_every
     # Adaptive dt (reference solver.py per-step CFL/max-wind dt, SURVEY.md
@@ -201,9 +212,10 @@ def cmd_run(args) -> int:
     horizon = cfg.sim_days * 86400.0
     import dataclasses as _dc
     while (float(state.t) < horizon - 1e-6) if adaptive else (done < n_total):
-        state, diag = run_chunk(state, grid, forcing)
+        n = chunk if adaptive else min(chunk, n_total - done)
+        state, diag = run_for(n)(state, grid, forcing)
         state = jax.block_until_ready(state)
-        done += chunk
+        done += n
         rec = logger.log_chunk(
             diag, extra={"dt": float(grid.dt)} if adaptive else None)
         if rec["nan"]:
@@ -223,9 +235,9 @@ def cmd_run(args) -> int:
                             state, cfg)
             next_restart += restart_every
     wall = time.time() - t0
-    gps = gc.nx * gc.ny * gc.nz * done / wall
+    gps = gc.nx * gc.ny * gc.nz * (done - start) / wall
     if p0:
-        print(f"done: {done} steps in {wall:.1f}s  "
+        print(f"done: {done - start} steps in {wall:.1f}s  "
               f"({gps/1e6:.2f} M grid-points/s)", flush=True)
     if args.out_dir:
         save_checkpoint(os.path.join(args.out_dir, "restart.npz"), state, cfg)
@@ -236,7 +248,11 @@ def cmd_plot(args) -> int:
     from .io.plot import quicklook_nc, quicklook_npz
     out = args.out or (args.nc.rsplit(".", 1)[0] + ".png")
     if args.nc.endswith(".npz"):        # restart checkpoint (--no-nc runs)
-        print(quicklook_npz(args.nc, out, level=args.level))
+        grid_cfg = None
+        if args.config or args.baseline:
+            grid_cfg = build_config(args).grid
+        print(quicklook_npz(args.nc, out, level=args.level,
+                            grid_cfg=grid_cfg))
     else:
         print(quicklook_nc(args.nc, out, level=args.level))
     return 0
@@ -259,10 +275,10 @@ def cmd_bench(args) -> int:
                              dtype=args.dtype or "float32")
     elif args.scaling:
         from .bench.scaling import measure_scaling
-        cfg = build_config(args) if args.config else None
-        if cfg is None:
-            from .core.config import baseline_config
-            cfg = baseline_config(args.baseline)
+        args.baseline = args.baseline or 3
+        cfg = build_config(args)       # applies --config/--baseline/--dtype/--diff
+        if args.backend:
+            cfg = cfg.replace(backend=args.backend)
         if getattr(args, "halo_overlap", False):
             if cfg.backend != "pallas":
                 # only the packed-Pallas path implements the explicit
@@ -316,10 +332,16 @@ def main(argv=None) -> int:
     pr.add_argument("--dtype", default=None)
     pr.add_argument("--out-dir", default=None)
     pr.add_argument("--out-every-hours", type=float, default=None,
-                    help="NetCDF output cadence (i_out_nth_hour analogue)")
+                    help="NetCDF output cadence (i_out_nth_hour analogue). "
+                         "A cadence whose step-chunk divides the horizon "
+                         "avoids compiling a second (tail) scan program")
     pr.add_argument("--restart-every-days", type=float, default=None,
                     help="checkpoint cadence (i_restart_nth_day analogue)")
     pr.add_argument("--restart-from", default=None)
+    pr.add_argument("--auto-resume", action="store_true",
+                    help="resume from this out-dir's own last periodic "
+                         "checkpoint if one exists (failure-recovery loop: "
+                         "relaunch with identical arguments after a crash)")
     pr.add_argument("--backend", dest="backend_override", default=None,
                     choices=["jnp", "pallas"])
     pr.add_argument("--mesh-lat", type=int, default=0,
@@ -388,10 +410,16 @@ def main(argv=None) -> int:
                     help="write a jax.profiler trace here")
     pp.set_defaults(fn=cmd_profile)
 
-    pl_ = sub.add_parser("plot", help="quicklook PNG from an out_XXXX.nc")
+    pl_ = sub.add_parser("plot", help="quicklook PNG from an out_XXXX.nc "
+                                      "or a restart.npz checkpoint")
     pl_.add_argument("nc")
     pl_.add_argument("--out", default=None)
     pl_.add_argument("--level", type=int, default=-1)
+    pl_.add_argument("--config", default=None,
+                     help="run's TOML namelist (checkpoint quicklooks: "
+                          "supplies ptop + lat/lon extents)")
+    pl_.add_argument("--baseline", type=int, default=0,
+                     help="run's baseline preset (same purpose)")
     pl_.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)

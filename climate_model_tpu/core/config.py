@@ -128,7 +128,6 @@ class ModelConfig:
     sim_days: float = 1.0
     out_every_hours: float = 6.0        # i_out_nth_hour
     restart_every_days: float = 1.0     # i_restart_nth_day
-    seed: int = 0
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

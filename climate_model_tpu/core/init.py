@@ -58,9 +58,10 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     lat = grid_np.lat[:, None]
     lon = grid_np.lon[None, :]
 
+    p = cfg.physics
     hsurf, land = synthetic_topography(grid_np, kind)
-    albedo = np.where(land > 0.5, 0.25, 0.08)
-    evap_eff = np.where(land > 0.5, 0.3, 1.0)
+    albedo = np.where(land > 0.5, p.albedo_land, p.albedo_ocean)
+    evap_eff = np.where(land > 0.5, p.evap_efficiency_land, 1.0)
 
     # COLP reduced hydrostatically over topography.
     psurf = gc.psurf * np.exp(-c.G * hsurf / (c.R_D * T0))
@@ -97,7 +98,6 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     tsurf = tair[-1] + 1.0
     # Soil water: land starts half-full (reference soil moisture IC [P]);
     # ocean cells carry field capacity so their evap efficiency is 1.
-    p = cfg.physics
     soil_moist = np.where(land > 0.5, p.soil_moist_init, p.soil_moist_cap)
     state = dict(u=u, v=v, colp=colp, pott=pott, qv=qv, qc=qc,
                  tsurf=tsurf, rain=np.zeros((ny, nx)), soil_moist=soil_moist)

@@ -26,7 +26,7 @@ from ..core.state import State
 def config_fingerprint(cfg: ModelConfig) -> str:
     """Hash of the config fields that define the STATE's shape and meaning:
     grid, physics, numerics, dtype. Deliberately EXCLUDES run length /
-    output cadence / device layout / seed — extending a run (``--days 8``
+    output cadence / device layout — extending a run (``--days 8``
     after a 4-day save), resharding onto a different mesh or process count
     (load reassembles global arrays; callers re-shard), switching backend
     (jnp <-> pallas hold identical States), or retiming outputs are all

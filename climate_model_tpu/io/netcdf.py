@@ -25,10 +25,6 @@ from ..core.state import Forcing, State
 from ..dycore import operators as ops
 
 
-_FIELD_3D = ("UWIND", "VWIND", "POTT", "TAIR", "PHI", "QV", "QC")
-_FIELD_2D = ("PSURF", "COLP", "RAIN", "TSURF")
-
-
 def host_global(tree):
     """Make every array in ``tree`` fully addressable on every host.
 
@@ -91,6 +87,11 @@ def write_output_nc(path: str, state: State, grid: Grid, forcing: Forcing):
         tv = f.createVariable("time", "f", ("time",))
         tv[:] = np.asarray([float(state.t) / 86400.0], np.float32)
         tv.units = b"days since start"
+        for name, vals in (("lat", np.rad2deg(np.asarray(grid.lat))),
+                           ("lon", np.rad2deg(np.asarray(grid.lon)))):
+            cv = f.createVariable(name, "f", (name,))
+            cv[:] = np.asarray(vals, np.float32)
+            cv.units = b"degrees"
         for name, arr in fields3.items():
             v = f.createVariable(name, "f", ("time", "level", "lat", "lon"))
             v[:] = np.asarray(arr, np.float32)[None]
@@ -106,9 +107,17 @@ class NCWriter:
     constants.nc (reference IO.py layout)."""
 
     def __init__(self, out_dir: str):
+        import glob
+        import re
+
         self.out_dir = out_dir
-        self.count = 0
         os.makedirs(out_dir, exist_ok=True)
+        # Resume continues the sequence instead of overwriting the earlier
+        # timeline (constants.nc is only written when the sequence starts).
+        existing = [int(m.group(1))
+                    for f in glob.glob(os.path.join(out_dir, "out_*.nc"))
+                    if (m := re.search(r"out_(\d+)\.nc$", f))]
+        self.count = max(existing) + 1 if existing else 0
 
     def write(self, state: State, grid: Grid, forcing: Forcing):
         import jax

@@ -24,35 +24,52 @@ def quicklook_nc(nc_path: str, png_path: str, level: int = -1) -> str:
         psurf = np.asarray(f.variables["PSURF"][0])
         rain = np.asarray(f.variables["RAIN"][0])
         t_days = float(np.asarray(f.variables["time"][0]))
-    return _render(u, v, tair, qv, psurf, rain, t_days, png_path, level)
+        coords = None
+        if "lat" in f.variables:       # coordinate vars (older files lack them)
+            coords = (np.asarray(f.variables["lon"][:]).copy(),
+                      np.asarray(f.variables["lat"][:]).copy())
+    return _render(u, v, tair, qv, psurf, rain, t_days, png_path, level,
+                   coords=coords)
 
 
 def quicklook_npz(npz_path: str, png_path: str, level: int = -1,
-                  ptop: float = 10_000.0) -> str:
+                  grid_cfg=None) -> str:
     """Render a quicklook PNG straight from a restart checkpoint
     (``--no-nc`` runs keep metrics + restarts only — e.g. when the
     device->host link is too slow for field dumps). The temperature panel
     shows POTT (computing TAIR would need the sigma/Exner geometry that a
-    State-only checkpoint does not carry)."""
+    State-only checkpoint does not carry). Pass the run's ``GridConfig``
+    (CLI ``--baseline``/``--config``) for the correct ptop and lat/lon
+    extents; defaults assume the standard domain."""
+    ptop = grid_cfg.ptop if grid_cfg is not None else 10_000.0
     with np.load(npz_path) as z:
         u, v, pott, qv = z["u"], z["v"], z["pott"], z["qv"]
         psurf = z["colp"] + ptop
         rain = z["rain"]
         t_days = float(z["t"]) / 86400.0
+    coords = None
+    if grid_cfg is not None:
+        ny, nx = psurf.shape
+        coords = (np.linspace(grid_cfg.lon0_deg, grid_cfg.lon1_deg, nx,
+                              endpoint=False),
+                  np.linspace(grid_cfg.lat0_deg, grid_cfg.lat1_deg, ny))
     return _render(u, v, pott, qv, psurf, rain, t_days, png_path, level,
-                   temp_name="POTT")
+                   temp_name="POTT", coords=coords)
 
 
 def _render(u, v, tair, qv, psurf, rain, t_days, png_path, level=-1,
-            temp_name="TAIR") -> str:
+            temp_name="TAIR", coords=None) -> str:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(2, 2, figsize=(13, 7), constrained_layout=True)
     ny, nx = psurf.shape
-    lon = np.linspace(0, 360, nx, endpoint=False)
-    lat = np.linspace(-80, 80, ny)
+    if coords is not None:
+        lon, lat = coords
+    else:   # standard-domain fallback (legacy files without coordinates)
+        lon = np.linspace(0, 360, nx, endpoint=False)
+        lat = np.linspace(-80, 80, ny)
 
     ax = axes[0, 0]
     m = ax.pcolormesh(lon, lat, psurf / 100.0, cmap="viridis", shading="auto")

@@ -220,7 +220,6 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
     save_checkpoint(path, state, cfg)
     extended = cfg.replace(
         sim_days=cfg.sim_days * 8, out_every_hours=1.0, backend="pallas",
-        seed=cfg.seed + 1,
         sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"))
     assert config_fingerprint(extended) == config_fingerprint(cfg)
     back = load_checkpoint(path, extended)
