@@ -56,3 +56,25 @@ def test_no_nc_run_and_npz_quicklook(tmp_path):
     rc = main(["plot", str(tmp_path / "restart.npz")])
     assert rc == 0
     assert (tmp_path / "restart.png").exists()
+
+
+def test_cli_exact_horizon_resume_and_nc_sequence(tmp_path):
+    """The driver executes EXACTLY the requested horizon (tail-chunk
+    program when the cadence does not divide it), --auto-resume picks up
+    the run's own checkpoint, and a resumed run CONTINUES the out_NNNN.nc
+    numbering instead of overwriting the earlier timeline."""
+    import json
+
+    d = str(tmp_path)
+    base = ["run", "--nx", "32", "--ny", "16", "--nz", "4",
+            "--out-every-hours", "0.4", "--out-dir", d]
+    assert main(base + ["--days", "0.06"]) == 0
+    recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert recs[-1]["step"] == 9          # int(0.06*86400/548.5s), not 10
+    first = sorted(f for f in os.listdir(d) if f.startswith("out_"))
+    assert main(base + ["--days", "0.12", "--auto-resume"]) == 0
+    recs = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert recs[-1]["step"] == 18
+    both = sorted(f for f in os.listdir(d) if f.startswith("out_"))
+    assert both[:len(first)] == first      # earlier timeline untouched
+    assert len(both) > len(first)          # sequence continued
