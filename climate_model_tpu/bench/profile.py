@@ -107,7 +107,10 @@ def profile_subsystems(cfg: ModelConfig, trace_dir: Optional[str] = None,
         print(f"{'subsystem':<22}{'ms/step':>10}  {'share':>6}")
         for k, v in rows.items():
             if isinstance(v, float) and k != "total_per_step":
-                share = v / total if k != "radiation" else float("nan")
-                print(f"{k:<22}{v*1e3:>10.3f}  {share*100:>5.1f}%")
+                if k == "radiation":    # raw per-call cost; the amortized
+                    share = "     —"    # row below carries the step share
+                else:
+                    share = f"{v / total * 100:>5.1f}%"
+                print(f"{k:<22}{v*1e3:>10.3f}  {share}")
         print(f"{'total_per_step':<22}{total*1e3:>10.3f}")
     return rows
