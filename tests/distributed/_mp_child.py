@@ -80,6 +80,13 @@ if pid == 0:
 else:
     assert path is None
 
+# --- GSPMD 'auto' mode: plain jit over globally-sharded inputs, XLA
+# inserts the halo collectives itself (no shard_map) ---
+auto = jax.jit(make_chunk_runner(cfg, 5))
+out_auto = jax.block_until_ready(auto(s, g, f))
+u_auto = multihost_utils.process_allgather(out_auto.u, tiled=True)
+np.testing.assert_allclose(u_auto, np.asarray(ref.u), rtol=1e-12, atol=1e-12)
+
 # --- packed fused-kernel path (interpret mode on CPU; Mosaic on a real
 # slice): supertensor ghost refresh now rides CROSS-PROCESS collectives ---
 
