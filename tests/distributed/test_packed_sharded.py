@@ -137,3 +137,25 @@ def test_overlap_refuses_thin_shards():
     mesh = make_mesh(mesh_lat=4, mesh_lon=2)
     with pytest.raises(ValueError, match="halo_overlap"):
         make_packed_sharded_runner(cfg, mesh, grid, n_steps=1)
+
+
+def test_packed_sharded_stretched_sigma():
+    """Stretched (non-uniform) sigma x shard_map: the per-level VERT operand
+    must reach every shard's kernels unchanged (it is replicated, not
+    sharded) — sharded == unsharded on a 2x2 mesh."""
+    import dataclasses
+
+    cfg = _cfg(physics=True)
+    cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, sigma_stretch=1.3))
+    state, forcing, grid = initialize(cfg)
+    ref = jax.block_until_ready(
+        make_chunk_runner(cfg, N_STEPS)(state, grid, forcing))
+
+    mesh = make_mesh(mesh_lat=2, mesh_lon=2)
+    run = make_packed_sharded_runner(cfg, mesh, grid, n_steps=N_STEPS)
+    s, g, f = shard_inputs(mesh, state, grid, forcing)
+    out = jax.block_until_ready(run(s, g, f))
+    for name in FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-12, atol=1e-13, err_msg=name)
