@@ -89,8 +89,10 @@ class NumericsConfig:
     # Reference solver.py recomputes dt every step from CFL and the current
     # max wind (SURVEY.md §3.1 hot loop #0). Rebuilt as a per-scan-chunk
     # recomputation on the host (the chunk diagnostics already fetch max
-    # wind, so this costs no extra sync — §3.1 rebuild note). jnp backend
-    # only: the fused Pallas kernel bakes dt as a static Mosaic constant.
+    # wind, so this costs no extra sync — §3.1 rebuild note); dt only
+    # SHRINKS below the init value when winds exceed the 100 m/s init
+    # margin (grid.adaptive_cfl_dt: the margin floor is load-bearing).
+    # jnp backend only: the fused kernel bakes dt as a Mosaic constant.
     adaptive_dt: bool = False
     wind_tendency: bool = True          # i_wind_tendency
     temperature_tendency: bool = True   # i_temperature_tendency

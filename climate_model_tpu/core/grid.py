@@ -82,12 +82,17 @@ class Grid:
 def adaptive_cfl_dt(min_dx: float, cfl: float, max_wind: float) -> float:
     """dt from the CFL bound at the current max wind (reference solver.py
     ``dt = CFL * min(dx) / wind-speed scale``, SURVEY.md §3.1 hot loop #0):
-    external-gravity-wave speed sqrt(g*H) plus the advective speed. At init
-    ``max_wind=100`` is the fixed safety margin; with
-    ``NumericsConfig.adaptive_dt`` the driver re-evaluates this per scan
-    chunk with the measured max wind."""
+    external-gravity-wave speed sqrt(g*H) plus the advective margin. The
+    margin never drops below the 100 m/s used at init: the init dt sits
+    close to the Matsuno/C-grid stability boundary, and relaxing the
+    margin to a calm measured wind was MEASURED to blow up (1 deg full
+    physics, dt = 1.27x init: NaN at day 0.57 — docs/STATUS.md round-3
+    stability notes). With ``NumericsConfig.adaptive_dt`` the driver
+    re-evaluates this per scan chunk, so dt only SHRINKS when winds exceed
+    100 m/s — a blow-up safety net, which is the role the reference's
+    per-step dt recompute plays."""
     c_grav = float(np.sqrt(c.G * 10_000.0))
-    return float(cfl) * float(min_dx) / (c_grav + float(max_wind))
+    return float(cfl) * float(min_dx) / (c_grav + max(float(max_wind), 100.0))
 
 
 def make_grid(cfg: GridConfig, num: NumericsConfig | None = None,

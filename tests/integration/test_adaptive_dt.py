@@ -29,12 +29,15 @@ def test_adaptive_dt_run(tmp_path):
     dt0 = float(grid.dt)
     # every chunk logs the dt it ran with; the first chunk runs the init dt
     assert recs[0]["dt"] == pytest.approx(dt0, rel=1e-6)
-    # with the initial jet's max wind below the fixed 100 m/s init margin,
-    # the adaptive dt is larger than the init dt and matches the formula
+    # winds below the 100 m/s init margin do NOT grow dt (the init dt sits
+    # near the Matsuno stability boundary — adaptive_cfl_dt docstring);
+    # winds above it shrink dt as a blow-up safety net
+    assert recs[1]["dt"] == pytest.approx(dt0, rel=1e-6)
     min_dx = float(min(grid.dx.min(), grid.dy))
-    expect = adaptive_cfl_dt(min_dx, cfg.numerics.cfl, recs[0]["max_wind"])
-    assert recs[1]["dt"] == pytest.approx(expect, rel=1e-6)
-    assert recs[1]["dt"] > dt0
+    stormy = adaptive_cfl_dt(min_dx, cfg.numerics.cfl, 150.0)
+    assert stormy < dt0
+    assert stormy == pytest.approx(dt0 * (100.0 + 313.2) / (150.0 + 313.2),
+                                   rel=1e-3)
 
 
 def test_adaptive_dt_refuses_pallas(tmp_path, capsys):
