@@ -72,10 +72,11 @@ def micro_bench(baseline: int = 3, iters: int = 200,
     state, forcing, grid = initialize(cfg)
     from ..core.grid import make_grid
     grid_np = make_grid(gc, num, np_mode=True)
-    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+    kw = dict(dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=dt_, interpret=jax.default_backend() == "cpu")
+    dt_val = float(grid_np.dt)
     pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True,
                                        **kw)
     corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
@@ -109,11 +110,13 @@ def micro_bench(baseline: int = 3, iters: int = 200,
     # one full-tile VPU op = (w, nz, nxp) elements / 1024 lanes / 940 MHz
     tile_op_s = w * nz * nxp / 1024.0 / 0.94e9
 
-    t_pred = _time_chain(lambda p: pred_k(p, *radf, aux.aux2, aux.geo, aux.vert),
+    t_pred = _time_chain(lambda p: pred_k(p, *radf, aux.aux2, aux.geo,
+                                          aux.vert, dt_val),
                          ps.prog, iters)
     t_corr = _time_chain(
         lambda p: corr_k(p, p, *((ps.radf,) if (phys.radiation or with_phys)
-                                 else ()), aux.aux2, aux.geo, aux.vert),
+                                 else ()), aux.aux2, aux.geo, aux.vert,
+                         dt_val),
         ps.prog, iters)
     t_rad = None
     if phys.radiation:

@@ -39,10 +39,11 @@ def _vpu_floor_s(cfg) -> float:
                          with_rad=phys.radiation, itemsize=dt_.itemsize,
                          with_phys=phys_tuple is not None)
     grid_np = make_grid(gc, num, np_mode=True)
-    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+    kw = dict(dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=dt_)
+    dt_val = float(grid_np.dt)
     pred = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
     corr = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
                                      phys=phys_tuple, **kw)
@@ -54,9 +55,10 @@ def _vpu_floor_s(cfg) -> float:
     import numpy as _np
     vert = make_vert(_np.linspace(0.0, 1.0, nz + 1),
                      _np.full(nz, 1.0 / nz), dt_)
-    elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo, vert)
+    elems = pallas_kernel_elems(pred, z(prog_k(nz)), *radf, z(K2), geo, vert,
+                                dt_val)
     elems += pallas_kernel_elems(corr, z(prog_k(nz)), z(prog_k(nz)),
-                                 *radf_c, z(K2), geo, vert)
+                                 *radf_c, z(K2), geo, vert, dt_val)
     nt = -(-ny // bj)
     import jax
     return elems * nt / device_vpu_rate(jax.devices()[0])

@@ -91,13 +91,6 @@ def cmd_run(args) -> int:
     from .io.netcdf import NCWriter
 
     cfg = build_config(args)
-    if cfg.numerics.adaptive_dt and cfg.backend == "pallas":
-        # The fused kernel bakes dt as a static Mosaic constant; re-baking
-        # per chunk would recompile (~10 min on TPU). Refuse loudly rather
-        # than silently running fixed-dt.
-        print("error: --adaptive-dt requires backend=jnp (the fused Pallas "
-              "kernel bakes dt as a static compile-time constant)")
-        return 2
     if getattr(args, "multihost", False):
         # DCN multi-host runtime (SURVEY.md §2.2 comm-backend row): each
         # process owns its local TPU devices; collectives ride ICI within a
@@ -361,7 +354,8 @@ def main(argv=None) -> int:
                          "[m2/s] (presets carry scale-aware defaults)")
     pr.add_argument("--adaptive-dt", action="store_true",
                     help="recompute dt per chunk from CFL and the current "
-                         "max wind (reference per-step dt; jnp backend)")
+                         "max wind (reference per-step dt; both backends — "
+                         "the fused kernel takes dt as a runtime operand)")
     pr.add_argument("--no-nc", action="store_true",
                     help="skip NetCDF field dumps (JSONL metrics + restart "
                          "checkpoints only — e.g. when the device->host "

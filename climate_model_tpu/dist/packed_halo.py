@@ -154,7 +154,7 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     bj = pick_block_rows(nz, ny_l, nx_l, same_base=False,
                          with_rad=phys.radiation, itemsize=dtype.itemsize,
                          with_phys=with_phys)
-    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+    kw = dict(dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=dtype,
@@ -164,7 +164,6 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
                                        same_base=True, **kw)
     corr_k = make_fused_substep_packed(nz, ny_l, nx_l, bj=bj,
                                        same_base=False, phys=phys_tuple, **kw)
-    dt = float(grid_np.dt)
     corr_radf = phys.radiation or with_phys
     refresh = functools.partial(refresh_ghosts, ny_l=ny_l, nx_l=nx_l,
                                 n_lat=n_lat, n_lon=n_lon)
@@ -237,15 +236,17 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
             geo_s = aux.geo[:HALO + NY_S + HALO_N]
             geo_n = n_in(aux.geo, aux.geo[HALO + ny_l:HALO + ny_l + HALO_N])
 
+        dt = g.dt                          # runtime scalar (SMEM operand)
+
         def body_blocking(s, _):
             if phys.radiation:
                 s = radiation_step_packed(s, aux, cfg, nz)
             prog = refresh(s.prog)
             radf = refresh(s.radf) if corr_radf else s.radf
             pred_args = (prog,) + ((radf,) if phys.radiation else ())
-            p = refresh(pred_k(*pred_args, aux.aux2, aux.geo, aux.vert))
+            p = refresh(pred_k(*pred_args, aux.aux2, aux.geo, aux.vert, dt))
             corr_args = (p, prog) + ((radf,) if corr_radf else ())
-            out = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert)
+            out = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert, dt)
             return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
 
         def body_overlap(s, _):
@@ -259,20 +260,21 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
             rad_m = (radf,) if phys.radiation else ()
             rad_s = (s_in(radf, fs_r),) if phys.radiation else ()
             rad_n = (n_in(radf, fn_r),) if phys.radiation else ()
-            p_main = pred_k(prog, *rad_m, aux.aux2, aux.geo, aux.vert)
-            p_s = pred_s(s_in(prog, fs_p), *rad_s, a2_s, geo_s, aux.vert)
-            p_n = pred_n(n_in(prog, fn_p), *rad_n, a2_n, geo_n, aux.vert)
+            p_main = pred_k(prog, *rad_m, aux.aux2, aux.geo, aux.vert, dt)
+            p_s = pred_s(s_in(prog, fs_p), *rad_s, a2_s, geo_s, aux.vert, dt)
+            p_n = pred_n(n_in(prog, fn_p), *rad_n, a2_n, geo_n, aux.vert, dt)
             p = r_cols(merge(p_main, p_s, p_n))
             # ---- corrector: same schedule; base rows reuse fs_p/fn_p ----
             fs_q, fn_q = edges(p)
             rad_mc = (radf,) if corr_radf else ()
             rad_sc = (s_in(radf, fs_r),) if corr_radf else ()
             rad_nc = (n_in(radf, fn_r),) if corr_radf else ()
-            out_main = corr_k(p, prog, *rad_mc, aux.aux2, aux.geo, aux.vert)
+            out_main = corr_k(p, prog, *rad_mc, aux.aux2, aux.geo, aux.vert,
+                              dt)
             out_s = corr_s(s_in(p, fs_q), s_in(prog, fs_p), *rad_sc,
-                           a2_s, geo_s, aux.vert)
+                           a2_s, geo_s, aux.vert, dt)
             out_n = corr_n(n_in(p, fn_q), n_in(prog, fn_p), *rad_nc,
-                           a2_n, geo_n, aux.vert)
+                           a2_n, geo_n, aux.vert, dt)
             out = merge(out_main, out_s, out_n)
             return s.replace(prog=out, t=s.t + dt, step=s.step + 1), None
 

@@ -106,7 +106,7 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
     # corrector (same_base=False) has the larger footprint; use one bj for both
     bj = pick_block_rows(nz, ny, nx, same_base=False,
                          with_rad=cfg.physics.radiation, itemsize=itemsize)
-    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+    kw = dict(dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=cfg.physics.radiation,
               with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=jnp.dtype(cfg.dtype),
@@ -128,8 +128,8 @@ def _fused_matsuno_step_fn(cfg: ModelConfig):
         base = pack_prog(state.u, state.v, state.pott, state.qv, state.qc,
                          state.colp, state.tsurf, state.rain,
                          state.soil_moist, bj)
-        p = pred_k(base, *rad_p, aux2, geo_p, vert)
-        out = corr_k(p, base, *rad_p, aux2, geo_p, vert)
+        p = pred_k(base, *rad_p, aux2, geo_p, vert, grid.dt)
+        out = corr_k(p, base, *rad_p, aux2, geo_p, vert, grid.dt)
         u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         return state.replace(u=u, v=v, pott=pott, qv=qv, qc=qc, colp=colp)
 

@@ -354,7 +354,7 @@ def pick_block_rows(nz: int, ny: int, nx: int, same_base: bool,
 
 @functools.lru_cache(maxsize=32)
 def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
-                              same_base: bool, dt: float, dy: float,
+                              same_base: bool, dy: float,
                               ptop: float, with_rad: bool,
                               with_diff: bool = False, dtype=jnp.float32,
                               interpret: bool = False, phys: tuple = None,
@@ -363,10 +363,17 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                               debug_slots: bool = False):
     """Fused substep on PACKED supertensors. Returns
 
-        ``f(prog_eval[, prog_base][, radf], aux2, geo) -> prog_out``
+        ``f(prog_eval[, prog_base][, radf], aux2, geo, vert, dt) -> prog_out``
 
     with ``prog_base`` present iff not same_base, ``radf`` iff with_rad or
-    phys; all shapes per the module docstring; geo is (NYP, 1, NGEO).
+    phys; all shapes per the module docstring; geo is (NYP, 1, NGEO), vert
+    is ``make_vert``'s (1, nz+1, NVERT) per-level operand.
+
+    ``dt`` is a RUNTIME scalar (python float or () array): it rides into
+    the kernel through an SMEM operand rather than being baked as a Mosaic
+    constant, so one compiled program serves every timestep value — the
+    adaptive-dt driver (reference solver.py per-step CFL dt) runs on this
+    backend without recompiling, and sweeping dt is free.
 
     ``with_diff`` compiles in the horizontal-diffusion terms; the
     COEFFICIENT VALUES ride in per-latitude geo columns (kdiff_uv /
@@ -441,8 +448,9 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         hbm = refs[:n_args]
         geo_ref = refs[n_args]
         vert_ref = refs[n_args + 1]
-        out_ref = refs[n_args + 2]
-        scr = refs[n_args + 3:]
+        dt_ref = refs[n_args + 2]          # SMEM (2,): [dt, qc autoconv frac]
+        out_ref = refs[n_args + 3]
+        scr = refs[n_args + 4:]
         bufs = scr[:n_streams]
         sem_in = scr[n_streams]
         obuf = scr[n_streams + 1]
@@ -451,6 +459,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         sem_g = scr[n_streams + 4]
 
         i = pl.program_id(0)
+        dt = dt_ref[0]                     # runtime timestep (scalar reg)
 
         def in_descr(s, tile, slot):
             name, a, k0, nk, rw, slots = streams[s]
@@ -931,7 +940,10 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                 qv2 = relu(qv2 - dqc)
                 qc2 = qc2 + dqc
                 pt2 = pt2 + (c.L_V / c.C_P) * dqc / pvtf_n
-                frac = 1.0 - float(np.exp(-dt / qc_tau))
+                # 1 - exp(-dt/tau), precomputed outside (traced with the
+                # same jnp ops as microphysics_step) and carried in the
+                # SMEM operand: dt is a runtime scalar here
+                frac = dt_ref[1]
                 to_rain = relu(qc2 - qc_thr) * frac
                 qc2 = relu(qc2 - to_rain)
                 # per-level layer mass (matches jnp microphysics_step's
@@ -997,6 +1009,7 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                                  memory_space=pltpu.VMEM))       # geo
     in_specs.append(pl.BlockSpec((1, nz + 1, NVERT), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM))       # vert
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))       # dt scalars
     out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
     out_shape = jax.ShapeDtypeStruct((nyp, kp, nxp), dtype)
 
@@ -1024,8 +1037,16 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
         ),
     )
 
+    qc_tau = phys[6] if with_phys else None
+
     def substep_packed(*packed_args):
-        return call(*packed_args)
+        *packed, dt_in = packed_args
+        dt_s = jnp.asarray(dt_in, dtype).reshape(())
+        if with_phys and phys[2]:          # microphysics epilogue on
+            frac = 1.0 - jnp.exp(-dt_s / qc_tau)
+        else:
+            frac = jnp.zeros((), dtype)
+        return call(*packed, jnp.stack([dt_s, frac]))
 
     return substep_packed
 
@@ -1043,7 +1064,7 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
     arrays for stretched-sigma runs. ``debug_slots`` also returns the 4
     diagnostics slots (hardware debugging channel; see the kernel body)."""
     kern = make_fused_substep_packed(
-        nz, ny, nx, bj=bj, same_base=same_base, dt=dt, dy=dy, ptop=ptop,
+        nz, ny, nx, bj=bj, same_base=same_base, dy=dy, ptop=ptop,
         with_rad=with_rad, with_diff=with_diff, dtype=dtype,
         interpret=interpret, debug_slots=debug_slots)
     if sigma_vb is None:
@@ -1064,6 +1085,7 @@ def make_fused_substep(nz: int, ny: int, nx: int, *, bj: int,
         args.append(pack_aux2(hs, z2, z2, z2, bj))
         args.append(pack_geo(geo, bj))
         args.append(vert)
+        args.append(dt)
         out = kern(*args)
         u, v, pott, qv, qc, colp = unpack_prog(out, nz, ny, nx)[:6]
         if debug_slots:

@@ -88,7 +88,7 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     grid_np = make_grid(gc, num, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
     phys_tuple = phys_epilogue_tuple(cfg)
-    kw = dict(dt=float(grid_np.dt), dy=float(grid_np.dy), ptop=gc.ptop,
+    kw = dict(dy=float(grid_np.dy), ptop=gc.ptop,
               with_rad=phys.radiation,
               with_diff=bool(num.diff_uv or num.diff_pott or num.diff_moist),
               dtype=jnp.dtype(cfg.dtype),
@@ -99,16 +99,17 @@ def make_packed_step_fn(cfg: ModelConfig, bj: int):
     pred_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=True, **kw)
     corr_k = make_fused_substep_packed(nz, ny, nx, bj=bj, same_base=False,
                                        phys=phys_tuple, **kw)
-    dt = float(grid_np.dt)
     corr_radf = phys.radiation or phys_tuple is not None
 
-    def step(ps: PackedState, aux: PackedAux) -> PackedState:
+    def step(ps: PackedState, aux: PackedAux, dt) -> PackedState:
+        """``dt`` is a runtime scalar (grid.dt leaf): the kernels take it as
+        an SMEM operand, so adaptive-dt chunk reruns never recompile."""
         if phys.radiation:
             ps = radiation_step_packed(ps, aux, cfg, nz)
         pred_args = (ps.prog,) + ((ps.radf,) if phys.radiation else ())
-        p = pred_k(*pred_args, aux.aux2, aux.geo, aux.vert)
+        p = pred_k(*pred_args, aux.aux2, aux.geo, aux.vert, dt)
         corr_args = (p, ps.prog) + ((ps.radf,) if corr_radf else ())
-        prog = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert)
+        prog = corr_k(*corr_args, aux.aux2, aux.geo, aux.vert, dt)
         return ps.replace(prog=prog, t=ps.t + dt, step=ps.step + 1)
 
     return step
@@ -163,7 +164,7 @@ def make_chunk_runner(cfg: ModelConfig, n_steps: int):
         ps = pack_full(state, bj)
 
         def body(s, _):
-            return pstep(s, aux), None
+            return pstep(s, aux, grid.dt), None
 
         ps, _ = jax.lax.scan(body, ps, None, length=n_steps)
         return unpack_full(ps, state, nz, ny, nx)

@@ -40,12 +40,21 @@ def test_adaptive_dt_run(tmp_path):
                                    rel=1e-3)
 
 
-def test_adaptive_dt_refuses_pallas(tmp_path, capsys):
+def test_adaptive_dt_pallas_backend(tmp_path):
+    """dt rides into the fused kernel as an SMEM operand (round 3), so the
+    adaptive-dt driver runs on backend=pallas too — one compiled program
+    serves every chunk's dt (the round-2 static-Mosaic-constant refusal is
+    gone)."""
     rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "4",
-               "--days", "0.01", "--adaptive-dt", "--backend", "pallas",
+               "--days", "0.05", "--adaptive-dt", "--backend", "pallas",
+               "--out-every-hours", "0.4",
                "--out-dir", str(tmp_path)])
-    assert rc == 2
-    assert "adaptive-dt requires backend=jnp" in capsys.readouterr().out
+    assert rc == 0
+    recs = [json.loads(line)
+            for line in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    assert recs and all(not r["nan"] for r in recs)
+    assert recs[-1]["t_days"] >= 0.05 - 1e-9
+    assert all("dt" in r for r in recs)
 
 
 def test_no_nc_run_and_npz_quicklook(tmp_path):

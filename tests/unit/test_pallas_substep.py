@@ -60,6 +60,28 @@ def test_predictor_matches_jnp(bj):
             rtol=1e-11, atol=1e-11, err_msg=f"{name} bj={bj}")
 
 
+def test_runtime_dt_same_program():
+    """dt is a RUNTIME SMEM operand of the fused kernel (round 3): the SAME
+    cached kernel program (lru_cache key excludes dt) must serve different
+    timestep values — the adaptive-dt contract on backend='pallas'."""
+    cfg, state, forcing, grid, grid_np = _setup()
+    dt0 = float(grid_np.dt)
+    kw = dict(dy=float(grid_np.dy), ptop=grid.ptop, with_rad=False,
+              dtype=jnp.float64, interpret=True)
+    geo = _geo(grid)
+    for dt in (dt0, 0.37 * dt0):     # second call hits the cached program
+        t1 = tendencies(state, state.colp, dt, grid, forcing, cfg)
+        ref = proceed(state, t1, dt)
+        sub = make_fused_substep(grid.nz, grid.ny, grid.nx, bj=8,
+                                 same_base=True, dt=dt, **kw)
+        out = sub(state.u, state.v, state.pott, state.qv, state.qc,
+                  state.colp, forcing.hsurf, geo)
+        for name, got in zip(("u", "v", "pott", "qv", "qc", "colp"), out):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(getattr(ref, name)),
+                rtol=1e-11, atol=1e-11, err_msg=f"{name} dt={dt}")
+
+
 def test_corrector_matches_jnp():
     cfg, state, forcing, grid, grid_np = _setup()
     dt = float(grid_np.dt)
