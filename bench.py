@@ -27,8 +27,10 @@ def main():
     # fold the host->device dispatch latency (~30 ms through the axon
     # tunnel) into the per-step number (profiling showed 20 steps reads
     # ~2.4 ms/step where the device is busy only ~1.15 ms/step).
+    # repeats=5, best-of: step-time variance on this box is real (same
+    # binary measured 1.37 and 1.59 ms/step an hour apart — docs/STATUS.md)
     result = run_benchmark(baseline=3, steps=200, dtype="float32",
-                           backend="pallas")
+                           repeats=5, backend="pallas")
     print(json.dumps(result), flush=True)
 
 

@@ -77,7 +77,8 @@ def build_config(args) -> "ModelConfig":
     if getattr(args, "adaptive_dt", False):
         cfg = cfg.replace(numerics=_dc.replace(cfg.numerics,
                                                adaptive_dt=True))
-    return cfg
+    from .core.config import resolve_rad_interval
+    return resolve_rad_interval(cfg)
 
 
 def cmd_run(args) -> int:
@@ -205,7 +206,16 @@ def cmd_run(args) -> int:
     horizon = cfg.sim_days * 86400.0
     import dataclasses as _dc
     while (float(state.t) < horizon - 1e-6) if adaptive else (done < n_total):
-        n = chunk if adaptive else min(chunk, n_total - done)
+        if adaptive:
+            # exact horizon in adaptive mode too: clamp the tail chunk to
+            # the steps remaining at the CURRENT dt (recomputed per chunk,
+            # so a mid-run dt change keeps the horizon exact to one step)
+            import math
+            left = math.ceil((horizon - float(state.t)) / float(grid.dt)
+                             - 1e-9)
+            n = min(chunk, max(1, left))
+        else:
+            n = min(chunk, n_total - done)
         state, diag = run_for(n)(state, grid, forcing)
         state = jax.block_until_ready(state)
         done += n

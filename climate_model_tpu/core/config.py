@@ -52,6 +52,11 @@ class PhysicsConfig:
     surface: bool = False        # i_soil / i_surface
     turbulence: bool = False     # i_turbulence
     rad_every_steps: int = 6     # radiation substep interval (i_rad_nth_*)
+    # Hour-based radiation cadence (the reference namelist's actual
+    # ``i_rad_nth_hour`` unit): when > 0, ``resolve_rad_interval`` converts
+    # it to rad_every_steps against the grid's CFL dt (the TOML loader and
+    # the CLI do this automatically). 0 = use rad_every_steps directly.
+    rad_every_hours: float = 0.0
     # Microphysics parameters
     qc_autoconv_time: float = 1000.0   # cloud->rain conversion timescale [s]
     qc_autoconv_threshold: float = 5e-4  # cloud water threshold [kg/kg]
@@ -153,6 +158,24 @@ def default_diffusion(nx: int) -> float:
     dx_eq_1deg = 111.0e3                       # 1-deg equatorial spacing [m]
     dx_eq = dx_eq_1deg * 360.0 / nx
     return 1.0e5 * (dx_eq / dx_eq_1deg) ** 2
+
+
+def resolve_rad_interval(cfg: "ModelConfig") -> "ModelConfig":
+    """Convert ``PhysicsConfig.rad_every_hours`` (the reference namelist's
+    ``i_rad_nth_hour`` unit) into ``rad_every_steps`` against the grid's
+    actual timestep. Idempotent (recomputes from the hour value each call);
+    a no-op when the knob is unset. The TOML loader and CLI call this, so a
+    namelist ported from the reference needs no manual dt arithmetic. With
+    --adaptive-dt the cadence stays step-based from the INIT dt (adaptive
+    dt only shrinks the step, so the wall-time cadence only tightens)."""
+    phys = cfg.physics
+    if not (phys.radiation and phys.rad_every_hours > 0):
+        return cfg
+    from .grid import make_grid          # deferred: grid imports config
+    dt = float(make_grid(cfg.grid, cfg.numerics, np_mode=True).dt)
+    steps = max(1, round(phys.rad_every_hours * 3600.0 / dt))
+    return cfg.replace(
+        physics=dataclasses.replace(phys, rad_every_steps=steps))
 
 
 def _diffused_numerics(nx: int, **kw) -> NumericsConfig:

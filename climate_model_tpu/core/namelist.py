@@ -55,7 +55,8 @@ def config_from_dict(data: dict) -> ModelConfig:
         raise ValueError(f"unknown top-level keys: {sorted(unknown)}; "
                          f"valid: {sorted(valid_top)}")
     kw.update(data)
-    return ModelConfig(**kw)
+    from .config import resolve_rad_interval
+    return resolve_rad_interval(ModelConfig(**kw))
 
 
 def load_config(path: str) -> ModelConfig:

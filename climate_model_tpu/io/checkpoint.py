@@ -31,8 +31,13 @@ def config_fingerprint(cfg: ModelConfig) -> str:
     (load reassembles global arrays; callers re-shard), switching backend
     (jnp <-> pallas hold identical States), or retiming outputs are all
     legitimate resumes. The reference's pickle restart checked nothing."""
+    phys = dataclasses.asdict(cfg.physics)
+    # rad_every_hours is config-surface sugar: resolve_rad_interval folds it
+    # into rad_every_steps before any physics runs, so only the resolved
+    # interval identifies the run (also keeps pre-knob fingerprints valid).
+    phys.pop("rad_every_hours", None)
     sub = dict(grid=dataclasses.asdict(cfg.grid),
-               physics=dataclasses.asdict(cfg.physics),
+               physics=phys,
                numerics=dataclasses.asdict(cfg.numerics),
                dtype=cfg.dtype)
     blob = json.dumps(sub, sort_keys=True, default=str)

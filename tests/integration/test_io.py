@@ -135,6 +135,29 @@ diff_pott = 100.0
         load_config(str(p2))
 
 
+def test_rad_every_hours_resolves_against_dt(tmp_path):
+    """Hour-based radiation cadence (the reference i_rad_nth_hour unit) is
+    converted to rad_every_steps against the grid's CFL dt by the loader."""
+    from climate_model_tpu.core.grid import make_grid
+    from climate_model_tpu.core.namelist import load_config
+
+    p = tmp_path / "nl.toml"
+    p.write_text('''
+[grid]
+nx = 64
+ny = 32
+nz = 4
+
+[physics]
+radiation = true
+rad_every_hours = 1.0
+''')
+    cfg = load_config(str(p))
+    dt = float(make_grid(cfg.grid, cfg.numerics, np_mode=True).dt)
+    assert cfg.physics.rad_every_steps == max(1, round(3600.0 / dt))
+    assert cfg.physics.rad_every_steps != 6      # actually resolved
+
+
 def test_topography_loader(tmp_path):
     """Synthetic ETOPO-like NetCDF -> model grid regrid (SURVEY.md §2.3)."""
     from scipy.io import netcdf_file
