@@ -251,3 +251,25 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
         cfg.numerics, diff_uv=12345.0))
     with pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(path, retuned)
+
+
+def test_checkpoint_fingerprint_backward_compat():
+    """Pin fingerprint stability across config-surface evolution: the
+    committed out_adapt checkpoint (written before rad_every_hours existed)
+    must still match its config's fingerprint today. Config-sugar fields
+    that resolve into existing fields before use (rad_every_hours ->
+    rad_every_steps) are excluded from the hash for exactly this reason —
+    adding one must not orphan users' restart files."""
+    import dataclasses
+    import os
+
+    from climate_model_tpu.core.config import baseline_config
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..",
+                        "out_adapt", "restart.npz")
+    z = np.load(path)
+    saved = bytes(z["_fingerprint"]).decode()
+    cfg = baseline_config(3)
+    cfg = cfg.replace(numerics=dataclasses.replace(cfg.numerics,
+                                                   adaptive_dt=True))
+    assert saved == config_fingerprint(cfg)
