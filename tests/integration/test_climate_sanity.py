@@ -90,6 +90,59 @@ def test_energy_and_water_closure():
 
 
 @_opt_in
+def test_equilibrium_approach():
+    """Round-4 gate (VERDICT r3 missing #1 / next #1): the retuned gray
+    atmosphere must let the climate CLOSE its TOA budget — not just stay
+    finite. A 6-deg full-physics run from the standard IC must show (a)
+    the global TOA imbalance decaying well below its peak, (b) the mean
+    atmospheric temperature flattening, and (c) an ACTIVE hydrologic cycle
+    whose rain rate tends toward the evaporation rate. Thresholds are
+    calibrated on the committed 4-deg/6-deg tuning runs (docs/STATUS.md
+    round-4: imbalance 15.5 -> ~8 W/m2 by day 60 at 6 deg, POTT trend
+    ~0.005 K/day, rain/evap ~0.85) with ~50% headroom. ~6 min of CPU."""
+    k = default_diffusion(60)
+    cfg = ModelConfig(
+        grid=GridConfig(nx=60, ny=30, nz=10),
+        physics=PhysicsConfig(microphysics=True, radiation=True,
+                              surface=True, turbulence=True,
+                              rad_every_steps=12),
+        numerics=NumericsConfig(diff_uv=k, diff_pott=k, diff_moist=k),
+        dtype="float32")
+    state, forcing, grid = initialize(cfg)
+    dt = float(grid.dt)
+    chunk = int(3 * 86400.0 / dt)                  # 3-day chunks
+    run = make_run_fn(cfg, chunk, donate=False)
+    diag = jax.jit(lambda s: diagnostics(s, grid, forcing, cfg))
+    hist = []
+    for _ in range(20):                            # 60 sim days
+        state = jax.block_until_ready(run(state, grid, forcing))
+        d = diag(state)
+        assert not bool(d.nan_flag)
+        hist.append(dict(t=float(d.t) / 86400.0,
+                         pott=float(d.mean_tair_proxy),
+                         imb=float(d.toa_net_sw) - float(d.olr),
+                         rain=float(d.total_rain),
+                         evap=float(d.evap_rate) * 86400.0))
+    peak_imb = max(abs(h["imb"]) for h in hist)
+    end_imb = abs(np.mean([h["imb"] for h in hist[-3:]]))
+    # (a) TOA imbalance decays: well below peak AND small in absolute terms
+    assert end_imb < 0.75 * peak_imb, (end_imb, peak_imb)
+    assert end_imb < 12.0, end_imb
+    # (b) mean POTT flattens (the r1-r3 tuning warmed +0.5..1.3 K/day
+    # monotonically and could never equilibrate)
+    dpott_dt = (hist[-1]["pott"] - hist[-4]["pott"]) \
+        / (hist[-1]["t"] - hist[-4]["t"])
+    assert abs(dpott_dt) < 0.03, dpott_dt
+    # (c) hydrologic cycle: rain active and tending toward balancing evap
+    assert hist[-1]["rain"] > 10.0, hist[-1]["rain"]
+    rain_rate = (hist[-1]["rain"] - hist[-4]["rain"]) \
+        / (hist[-1]["t"] - hist[-4]["t"])
+    evap_rate = np.mean([h["evap"] for h in hist[-4:]])
+    assert 0.55 * evap_rate < rain_rate < 1.35 * evap_rate, \
+        (rain_rate, evap_rate)
+
+
+@_opt_in
 def test_fine_grid_stability_with_default_diffusion():
     """Production-scale stability gate (VERDICT r2 next-round #1): the
     round-2 1-deg NaN only manifested at fine grids the CI never ran; this

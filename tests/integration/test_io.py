@@ -158,6 +158,70 @@ rad_every_hours = 1.0
     assert cfg.physics.rad_every_steps != 6      # actually resolved
 
 
+def test_metrics_logger_resume_aware(tmp_path):
+    """VERDICT r3 weak #6: re-running into the same out-dir must not
+    accumulate duplicate step lines. Fresh session truncates; a resumed
+    session drops lines beyond the resume step (a crashed earlier session's
+    superseded future) and appends from there."""
+    import json
+
+    from climate_model_tpu.io.metrics import MetricsLogger
+
+    path = str(tmp_path / "metrics.jsonl")
+    with open(path, "w") as f:
+        for s in (100, 200, 300):
+            f.write(json.dumps({"step": s}) + "\n")
+    # resume from step 200: the stale step-300 line is dropped
+    lg = MetricsLogger(jsonl_path=path, quiet=True)
+    lg.begin_session(200)
+    steps = [json.loads(l)["step"] for l in open(path)]
+    assert steps == [100, 200]
+    # fresh run: truncated entirely
+    MetricsLogger(jsonl_path=path, quiet=True).begin_session(0)
+    assert open(path).read() == ""
+
+
+def test_unresolved_rad_hours_refused_at_build(monkeypatch):
+    """A ModelConfig built in Python with rad_every_hours set but never
+    passed through resolve_rad_interval must be refused by the step-fn
+    builders (ADVICE r3: it used to silently run at the step default while
+    the fingerprint, which drops the sugar field, couldn't flag it)."""
+    import dataclasses
+
+    from climate_model_tpu.core.config import (GridConfig, ModelConfig,
+                                               PhysicsConfig,
+                                               resolve_rad_interval)
+    from climate_model_tpu.model import make_step_fn
+
+    cfg = ModelConfig(grid=GridConfig(nx=32, ny=16, nz=4),
+                      physics=PhysicsConfig(radiation=True,
+                                            rad_every_hours=1.0))
+    with pytest.raises(ValueError, match="resolve_rad_interval"):
+        make_step_fn(cfg)
+    # resolved -> builds fine, and is idempotent under re-resolution
+    rcfg = resolve_rad_interval(cfg)
+    assert resolve_rad_interval(rcfg) == rcfg
+    make_step_fn(rcfg)
+
+
+def test_pallas_float64_refused_on_tpu(monkeypatch):
+    """float64 + backend='pallas' is interpret-mode (CPU) only; on a real
+    TPU backend the builders must refuse up front instead of failing deep
+    inside Mosaic lowering (VERDICT r3 hygiene)."""
+    import climate_model_tpu.model as model_mod
+    from climate_model_tpu.core.config import GridConfig, ModelConfig
+    from climate_model_tpu.model import make_chunk_runner
+
+    cfg = ModelConfig(grid=GridConfig(nx=32, ny=16, nz=4), dtype="float64",
+                      backend="pallas")
+    # on this CPU test backend it builds (interpret mode)...
+    make_chunk_runner(cfg, 1)
+    # ...but with a TPU default backend it must refuse
+    monkeypatch.setattr(model_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="float64"):
+        make_chunk_runner(cfg, 1)
+
+
 def test_topography_loader(tmp_path):
     """Synthetic ETOPO-like NetCDF -> model grid regrid (SURVEY.md §2.3)."""
     from scipy.io import netcdf_file
@@ -255,21 +319,32 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
 
 def test_checkpoint_fingerprint_backward_compat():
     """Pin fingerprint stability across config-surface evolution: the
-    committed out_adapt checkpoint (written before rad_every_hours existed)
-    must still match its config's fingerprint today. Config-sugar fields
-    that resolve into existing fields before use (rad_every_hours ->
-    rad_every_steps) are excluded from the hash for exactly this reason —
-    adding one must not orphan users' restart files."""
+    fingerprint of the flagship adaptive config is pinned to a committed
+    text fixture (written when the last INTENTIONAL physics-default change
+    landed), so accidentally adding a config field to the hash — or
+    resolving sugar fields like rad_every_hours into it — fails here
+    before it orphans users' restart files. The fixture is tiny on purpose
+    (ADVICE r3: the old form loaded a 51 MB committed checkpoint and broke
+    with FileNotFoundError on artifact-pruned checkouts); when a default
+    legitimately changes, regenerate it with the command in the file."""
     import dataclasses
     import os
 
     from climate_model_tpu.core.config import baseline_config
 
-    path = os.path.join(os.path.dirname(__file__), "..", "..",
-                        "out_adapt", "restart.npz")
-    z = np.load(path)
-    saved = bytes(z["_fingerprint"]).decode()
+    fixture = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                           "fingerprint_baseline3_adaptive.txt")
+    expected = [ln for ln in open(fixture)
+                if ln.strip() and not ln.startswith("#")][0].strip()
     cfg = baseline_config(3)
     cfg = cfg.replace(numerics=dataclasses.replace(cfg.numerics,
                                                    adaptive_dt=True))
-    assert saved == config_fingerprint(cfg)
+    assert config_fingerprint(cfg) == expected
+
+    # and the committed adaptive-run checkpoint (if this checkout carries
+    # run artifacts) must have been written under exactly that fingerprint
+    path = os.path.join(os.path.dirname(__file__), "..", "..",
+                        "out_adapt", "restart.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            assert bytes(z["_fingerprint"]).decode() == expected
