@@ -69,6 +69,16 @@ class PhysicsConfig:
     # Turbulence parameters
     diff_coef_momentum: float = 1.0    # vertical eddy diffusivity K_m [m2 s-1]
     diff_coef_scalar: float = 1.0      # vertical eddy diffusivity K_h [m2 s-1]
+    # Moist-convective mixing guard (round-4 stretch; flag-gated, default
+    # OFF for reference parity — the reference has no convection scheme):
+    # where a column is near-saturated and moist-unstable, the scalar
+    # vertical diffusivity is raised to conv_diffusivity so the
+    # instability mixes out instead of building a grid-point storm
+    # (physics/turbulence.py::convective_k). jnp backend only for now;
+    # the pallas builders refuse the flag loudly.
+    convection: bool = False
+    conv_diffusivity: float = 100.0    # enhanced K_h on unstable interfaces
+    conv_rh_crit: float = 0.95         # both layers this close to saturation
     # Surface parameters
     drag_coef: float = 1.3e-3          # bulk exchange coefficient C_H=C_E
     soil_heat_capacity: float = 2.0e6  # areal heat capacity [J m-2 K-1]

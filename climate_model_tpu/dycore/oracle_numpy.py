@@ -517,9 +517,14 @@ def surface_np(state, grid, forcing, dt, drag_coef=1.3e-3,
     return new
 
 
-def turbulence_np(state, grid, forcing, dt, k_scalar=1.0, k_momentum=1.0):
+def turbulence_np(state, grid, forcing, dt, k_scalar=1.0, k_momentum=1.0,
+                  conv_diffusivity=0.0, conv_rh_crit=0.95):
     """Vertical K-diffusion of all prognostics in reconstructed height
-    coordinates (reference ``turbulence.py``), one explicit column loop."""
+    coordinates (reference ``turbulence.py``), one explicit column loop.
+    ``conv_diffusivity`` > 0 enables the moist-convective mixing guard:
+    interfaces whose two layers are near-saturated (RH > conv_rh_crit)
+    with saturation-theta_e decreasing upward get the enhanced scalar K
+    (spec of physics/turbulence.py::convective_k, transcribed as a loop)."""
     nz, ny, nx = state["pott"].shape
     colp = state["colp"]
     d = diagnose(colp, state["pott"], forcing["hsurf"], grid)
@@ -529,8 +534,9 @@ def turbulence_np(state, grid, forcing, dt, k_scalar=1.0, k_momentum=1.0):
     def col_diffuse(x_col, kco, dzc, dzvb, rvb, rc):
         flux = np.zeros(nz + 1)           # borders; 0 at top and bottom
         for ks in range(1, nz):
+            k_here = kco[ks - 1] if isinstance(kco, np.ndarray) else kco
             grad = (x_col[ks - 1] - x_col[ks]) / dzvb[ks - 1]
-            flux[ks] = -kco * rvb[ks - 1] * grad
+            flux[ks] = -k_here * rvb[ks - 1] * grad
         r = x_col.copy()
         for k in range(nz):
             r[k] += dt * (flux[k + 1] - flux[k]) / (rc[k] * dzc[k])
@@ -554,9 +560,29 @@ def turbulence_np(state, grid, forcing, dt, k_scalar=1.0, k_momentum=1.0):
                 rho_c[k] = (d["pvb"][k + 1, j, i] - d["pvb"][k, j, i]) \
                     / (c.G * dz_c[k])
             geom[(j, i)] = (dz_c, dz_vb, rho_vb, rho_c)
+            ks_col = k_scalar
+            if conv_diffusivity > 0.0:
+                ks_col = np.full(nz - 1, k_scalar)
+                pott_col = state["pott"][:, j, i]
+                qv_col = state["qv"][:, j, i]
+                for ks in range(1, nz):
+                    pair_u = 0.5 * (d["pvb"][ks - 1, j, i]
+                                    + d["pvb"][ks, j, i])
+                    pair_l = 0.5 * (d["pvb"][ks, j, i]
+                                    + d["pvb"][ks + 1, j, i])
+                    qs_u = _qsat_np(tair[ks - 1], pair_u)
+                    qs_l = _qsat_np(tair[ks], pair_l)
+                    rh_u = qv_col[ks - 1] / max(qs_u, 1e-10)
+                    rh_l = qv_col[ks] / max(qs_l, 1e-10)
+                    th_u = pott_col[ks - 1] * np.exp(
+                        c.L_V * qs_u / (c.C_P * tair[ks - 1]))
+                    th_l = pott_col[ks] * np.exp(
+                        c.L_V * qs_l / (c.C_P * tair[ks]))
+                    if min(rh_u, rh_l) > conv_rh_crit and th_u < th_l:
+                        ks_col[ks - 1] = k_scalar + conv_diffusivity
             for f in ("pott", "qv", "qc"):
                 out[f][:, j, i] = col_diffuse(
-                    state[f][:, j, i], k_scalar, dz_c, dz_vb, rho_vb, rho_c)
+                    state[f][:, j, i], ks_col, dz_c, dz_vb, rho_vb, rho_c)
 
     # staggered-point geometry: averages of the neighboring centers
     for j in range(ny):
@@ -599,7 +625,10 @@ def step_full_physics(state, dt, grid, forcing, cfg, t, step_idx):
                    soil_moisture=soil_on,
                    soil_moist_cap=p.soil_moist_cap)
     s = turbulence_np(s, grid, forcing, dt, k_scalar=p.diff_coef_scalar,
-                      k_momentum=p.diff_coef_momentum)
+                      k_momentum=p.diff_coef_momentum,
+                      conv_diffusivity=(p.conv_diffusivity if p.convection
+                                        else 0.0),
+                      conv_rh_crit=p.conv_rh_crit)
     s = microphysics_step(s, grid, forcing["hsurf"], dt,
                           qc_autoconv_time=p.qc_autoconv_time,
                           qc_autoconv_threshold=p.qc_autoconv_threshold,

@@ -72,6 +72,12 @@ def check_pallas_dtype(cfg: ModelConfig) -> None:
             "backend='pallas' supports float64 only in interpret mode on "
             "CPU (the kernel test path); TPU Mosaic has no f64 — use "
             "backend='jnp' for float64 runs, or dtype='float32' here")
+    if cfg.physics.convection:
+        raise ValueError(
+            "the moist-convective mixing guard (physics.convection) is "
+            "implemented on the jnp backend only (experimental, round 4); "
+            "the fused-kernel physics epilogue does not carry it yet — "
+            "use backend='jnp' or disable the flag")
 
 
 def phys_epilogue_tuple(cfg: ModelConfig):

@@ -22,6 +22,32 @@ from ..dycore import boundaries as bc
 from ..dycore import operators as ops
 
 
+def convective_k(state: State, pvb, pvtf, cfg: ModelConfig):
+    """Per-interface diffusivity enhancement of the moist-convective
+    mixing guard (round-4 stretch, VERDICT r3 next #7): where a column is
+    near-saturated AND moist-unstable (saturation equivalent potential
+    temperature theta_e* decreasing with height), vertical heat/moisture
+    mixing is raised to ``conv_diffusivity`` so the instability is
+    released by a column adjustment instead of building a grid-point
+    storm (the model has no convection parameterization otherwise — same
+    as the reference). Returns the ADDITIVE K at the nz-1 interior
+    interfaces. Explicitly stable: K dt / dz^2 ~ 100 * 34 / 500^2 ~ 0.01.
+    """
+    from .thermo import qsat_water
+
+    p = cfg.physics
+    tair = state.pott * pvtf
+    pair = 0.5 * (pvb[:-1] + pvb[1:])
+    qs = qsat_water(tair, pair)
+    rh = state.qv / jnp.maximum(qs, 1e-10)
+    # conditional-instability criterion on the SATURATED adiabat:
+    # theta_e* = theta * exp(L qsat / (cp T)) decreasing upward
+    theta_es = state.pott * jnp.exp(c.L_V * qs / (c.C_P * tair))
+    near_sat = jnp.minimum(rh[:-1], rh[1:]) > p.conv_rh_crit
+    unstable = theta_es[:-1] < theta_es[1:]          # axis 0: k=0 is top
+    return jnp.where(near_sat & unstable, p.conv_diffusivity, 0.0)
+
+
 def turbulence_step(state: State, grid: Grid, forcing: Forcing,
                     cfg: ModelConfig, dt, press=None) -> State:
     p = cfg.physics
@@ -51,9 +77,15 @@ def turbulence_step(state: State, grid: Grid, forcing: Forcing,
         flux = jnp.concatenate([zero, flux, zero], axis=0)
         return x + dt * (flux[1:] - flux[:-1]) / (rc * dzc)
 
-    pott = diffuse(state.pott, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
-    qv = diffuse(state.qv, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
-    qc = diffuse(state.qc, p.diff_coef_scalar, dz_c, dz_vb, rho_vb, rho_c)
+    # scalar K; + per-interface moist-convective enhancement when enabled
+    # (heat and moisture only — momentum keeps the base K, as in shallow
+    # adjustment schemes)
+    k_scalar = p.diff_coef_scalar
+    if p.convection:
+        k_scalar = k_scalar + convective_k(state, pvb, pvtf, cfg)
+    pott = diffuse(state.pott, k_scalar, dz_c, dz_vb, rho_vb, rho_c)
+    qv = diffuse(state.qv, k_scalar, dz_c, dz_vb, rho_vb, rho_c)
+    qc = diffuse(state.qc, k_scalar, dz_c, dz_vb, rho_vb, rho_c)
 
     # Momentum: reuse column geometry averaged to the staggered points.
     dz_c_u = 0.5 * (bc.west(dz_c) + dz_c)

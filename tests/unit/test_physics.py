@@ -180,6 +180,117 @@ def test_full_physics_step_stable():
     assert float(np.abs(np.asarray(out.u)).max()) < 100.0
 
 
+def test_convective_guard_mixes_moist_unstable_only():
+    """Moist-convective mixing guard (round-4 stretch): a saturated
+    moist-unstable column gets enhanced vertical mixing that reduces the
+    instability; a dry column with the same theta profile is untouched
+    relative to base turbulence; flag off -> exact base behavior."""
+    import dataclasses
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=16, ny=10, nz=8),
+        physics=PhysicsConfig(turbulence=True, convection=True,
+                              conv_diffusivity=200.0),
+        dtype="float64",
+    )
+    base_cfg = cfg.replace(physics=dataclasses.replace(cfg.physics,
+                                                       convection=False))
+    state, forcing, grid = initialize(cfg)
+    from climate_model_tpu.dycore import operators as ops
+    from climate_model_tpu.physics.thermo import qsat_water
+    from climate_model_tpu.physics.turbulence import (convective_k,
+                                                      turbulence_step)
+
+    # Build a saturated, moist-unstable lower troposphere: uniform theta
+    # (neutral dry) + saturation -> theta_e* decreases with height.
+    pvb, pvtf, _ = ops.diagnose_pressure(state.colp, grid)
+    pott = jnp.full_like(state.pott, 300.0)
+    tair = pott * pvtf
+    pair = 0.5 * (pvb[:-1] + pvb[1:])
+    qs = qsat_water(tair, pair)
+    moist = state.replace(pott=pott, qv=qs)          # RH = 1 everywhere
+    dry = state.replace(pott=pott, qv=jnp.zeros_like(qs))
+
+    k_add = np.asarray(convective_k(moist, pvb, pvtf, cfg))
+    assert k_add.max() == cfg.physics.conv_diffusivity
+    assert (np.asarray(convective_k(dry, pvb, pvtf, cfg)) == 0.0).all()
+
+    dt = float(grid.dt)
+    out_conv = turbulence_step(moist, grid, forcing, cfg, dt)
+    out_base = turbulence_step(moist, grid, forcing, base_cfg, dt)
+    # guard transports moisture upward (mixes the saturation gradient)
+    # harder than base turbulence
+    dq_conv = np.asarray(out_conv.qv - moist.qv)
+    dq_base = np.asarray(out_base.qv - moist.qv)
+    assert np.abs(dq_conv).sum() > 2.0 * np.abs(dq_base).sum()
+    # dry column: flag makes no difference
+    np.testing.assert_array_equal(
+        np.asarray(turbulence_step(dry, grid, forcing, cfg, dt).qv),
+        np.asarray(turbulence_step(dry, grid, forcing, base_cfg, dt).qv))
+    # water conservation through the guard (flux form): column qv+qc mass
+    dp = np.asarray(moist.colp)[None] * np.asarray(grid.dsigma)[:, None, None]
+    pvb_np, pvtf_np, _ = [np.asarray(x)
+                          for x in ops.diagnose_pressure(moist.colp, grid)]
+    # mass-weight with the same rho dz the scheme uses: rho_c dz_c = dp/g
+    w0 = (np.asarray(moist.qv + moist.qc) * dp).sum()
+    w1 = (np.asarray(out_conv.qv + out_conv.qc) * dp).sum()
+    np.testing.assert_allclose(w1, w0, rtol=5e-7)
+
+
+def test_convective_guard_matches_oracle():
+    """jnp turbulence step with the convection guard == NumPy oracle loop
+    (independent transcription) on a seeded moist-unstable state."""
+    cfg = ModelConfig(
+        grid=GridConfig(nx=12, ny=8, nz=6),
+        physics=PhysicsConfig(turbulence=True, convection=True,
+                              conv_diffusivity=150.0),
+        dtype="float64",
+    )
+    st, fo, grid_np = initial_state_np(cfg)
+    # Seed a genuinely moist-unstable saturated lower troposphere:
+    # uniform theta (dry-neutral) + saturation -> theta_e* decreases with
+    # height exactly where RH ~ 1 (the guard's firing condition).
+    st["pott"][-4:] = 295.0
+    sig = grid_np.sigma[:, None, None]
+    pair = grid_np.ptop + sig * st["colp"][None]
+    tair = st["pott"] * (pair / c.P_REF) ** c.KAPPA
+    from climate_model_tpu.physics.thermo import qsat_water
+    st["qv"][-4:] = qsat_water(tair, pair, np)[-4:]
+    grid = make_grid(cfg.grid, cfg.numerics, dtype=jnp.float64)
+    state, forcing = _jnp_state(st, fo, cfg)
+    from climate_model_tpu.physics.turbulence import turbulence_step
+    dt = float(grid_np.dt)
+    out = turbulence_step(state, grid, forcing, cfg, dt)
+    p = cfg.physics
+    s_np = oracle.turbulence_np(dict(st), grid_np, fo, dt,
+                                k_scalar=p.diff_coef_scalar,
+                                k_momentum=p.diff_coef_momentum,
+                                conv_diffusivity=p.conv_diffusivity,
+                                conv_rh_crit=p.conv_rh_crit)
+    # the guard must actually fire somewhere or this test is vacuous
+    base = oracle.turbulence_np(dict(st), grid_np, fo, dt,
+                                k_scalar=p.diff_coef_scalar,
+                                k_momentum=p.diff_coef_momentum)
+    assert np.abs(s_np["qv"] - base["qv"]).max() > 0.0
+    for name in ("pott", "qv", "qc", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), s_np[name],
+            rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+def test_convection_refused_on_pallas():
+    from climate_model_tpu.model import make_chunk_runner
+
+    cfg = ModelConfig(
+        grid=GridConfig(nx=32, ny=16, nz=8),
+        physics=PhysicsConfig(turbulence=True, convection=True),
+        backend="pallas",
+    )
+    import pytest
+    with pytest.raises(ValueError, match="convection"):
+        make_chunk_runner(cfg, 1)
+
+
 def test_soil_hydrology_budget():
     """Prognostic soil moisture (reference ``soil_model.py`` soil water /
     evaporation-efficiency coupling): evaporation dries the land bucket
