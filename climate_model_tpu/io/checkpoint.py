@@ -23,6 +23,23 @@ from ..core.config import ModelConfig
 from ..core.state import State
 
 
+def _non_default_fields(obj) -> dict:
+    """Dataclass -> {field: value} for fields that DIFFER from the class
+    default. Hashing only the deltas makes the fingerprint stable under
+    config-surface growth: adding a new switch with a default value (which
+    by definition does not change what a saved run computed) no longer
+    orphans every existing restart file (round 4 — adding the convection
+    flag would otherwise have invalidated all committed checkpoints)."""
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if f.default is not dataclasses.MISSING:
+            if v == f.default:
+                continue
+        out[f.name] = v
+    return out
+
+
 def config_fingerprint(cfg: ModelConfig) -> str:
     """Hash of the config fields that define the STATE's shape and meaning:
     grid, physics, numerics, dtype. Deliberately EXCLUDES run length /
@@ -30,15 +47,17 @@ def config_fingerprint(cfg: ModelConfig) -> str:
     after a 4-day save), resharding onto a different mesh or process count
     (load reassembles global arrays; callers re-shard), switching backend
     (jnp <-> pallas hold identical States), or retiming outputs are all
-    legitimate resumes. The reference's pickle restart checked nothing."""
-    phys = dataclasses.asdict(cfg.physics)
+    legitimate resumes — and DEFAULT-VALUED fields (see
+    ``_non_default_fields``), so adding config surface never orphans
+    restarts. The reference's pickle restart checked nothing."""
+    phys = _non_default_fields(cfg.physics)
     # rad_every_hours is config-surface sugar: resolve_rad_interval folds it
     # into rad_every_steps before any physics runs, so only the resolved
     # interval identifies the run (also keeps pre-knob fingerprints valid).
     phys.pop("rad_every_hours", None)
-    sub = dict(grid=dataclasses.asdict(cfg.grid),
+    sub = dict(grid=_non_default_fields(cfg.grid),
                physics=phys,
-               numerics=dataclasses.asdict(cfg.numerics),
+               numerics=_non_default_fields(cfg.numerics),
                dtype=cfg.dtype)
     blob = json.dumps(sub, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]

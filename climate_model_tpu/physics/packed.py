@@ -57,6 +57,15 @@ def compute_radiation_packed(ps: PackedState, aux: PackedAux,
                                            aux.albedo, cfg)
     b_sfc = c.SIGMA_SB * ps.tsurf ** 4
 
+    # NB round-4 postmortem: through round 3 the shared core used log-depth
+    # associative_scan/cumprod sweeps, and their TPU lowering along THIS
+    # layout's k axis was numerically wrong at the 0.25-deg shape (~1e-3
+    # relative flux errors at the scan tree-merge levels -> a spurious
+    # -66 K/day bottom-layer cooling). The core now runs sequential
+    # lax.scan sweeps with one exact evaluation order on every layout
+    # (physics/radiation.py gray_radiation_core docstring); a pure
+    # swapaxes-to-k-major wrapper here was measured NOT to help (XLA
+    # cancels layout-only transposes and reproduces the same lowering).
     heat, swflx_sfc, lwflx_sfc, _, _ = gray_radiation_core(
         1, nz, mass, dp, tair, qv, qc, b_sfc, albedo, toa_dn, inv_mu)
     dpottdt_rad = heat / pvtf

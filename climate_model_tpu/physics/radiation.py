@@ -102,19 +102,45 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
     layer heating dT/dt [K s-1] (divide by PVTF for dPOTTdt).
 
     The LW sweeps are first-order affine recurrences (F' = a*F + c with
-    a = 1-eps, c = eps*B) evaluated as log-depth ``lax.associative_scan``
-    compositions over the level axis: big contiguous-chunk ops instead of
-    nz sequential per-level thin slices (the thin (ny,1,nx) op shape is the
-    expensive one on the packed TPU layout — docs/STATUS.md probe log)."""
+    a = 1-eps, c = eps*B); they and the SW cumulative transmissions are
+    evaluated as SEQUENTIAL unrolled sweeps over the level axis.
+    History (round 4): these were log-depth ``associative_scan``/``cumprod``
+    compositions through round 3, but on TPU the cumulative-op lowering
+    along the k-sublane axis of the big packed (row, k, lane) layout is
+    numerically WRONG at production shapes — ~1e-3-relative flux errors
+    concentrated at the scan tree-merge levels (k = nz/2-1 and nz-1),
+    which materialized as a spurious −66 K/day bottom-layer heating error
+    at 0.25 deg that refrigerated the boundary layer (docs/STATUS.md
+    round-4 postmortem; the same HLO is exact on CPU and in the k-major
+    standard layout). The sequential form has one exact evaluation order
+    on every backend and layout; radiation is interval-cached (hourly), so
+    the extra scan latency amortizes to noise."""
     import functools
 
     cat = functools.partial(jnp.concatenate, axis=kax)
     sl = lambda x, lo, hi: jax.lax.slice_in_dim(x, lo, hi, axis=kax)
 
+    def seq(f, init, xs, reverse=False):
+        """Sequential first-order sweep over the level axis: returns the
+        carries stacked along ``kax`` (length nz). UNROLLED Python loop,
+        not ``lax.scan``: nz is small and static (8-32), the unrolled form
+        is plain elementwise HLO that XLA fuses into the surrounding
+        radiation math, and a lax.scan nested under the driver's outer
+        step-scan measured pathologically slow to compile on this box's
+        remote TPU compile service (>20 min vs ~2 min unrolled)."""
+        order = range(nz - 1, -1, -1) if reverse else range(nz)
+        carry = init
+        ys = [None] * nz
+        for k in order:
+            carry = f(carry, tuple(sl(x, k, k + 1) for x in xs))
+            ys[k] = carry
+        return cat(ys)
+
     # ---- shortwave: Beer-Lambert down-beam, albedo-reflected up-beam ----
     tau_sw = (K_SW_QV * qv + K_SW_DRY) * mass
     trans_dn = jnp.exp(-tau_sw * inv_mu)
-    cumtrans = jnp.cumprod(trans_dn, axis=kax)
+    cumtrans = seq(lambda c, x: c * x[0], jnp.ones_like(sl(trans_dn, 0, 1)),
+                   (trans_dn,))
     ones = jnp.ones_like(sl(cumtrans, 0, 1))
     f_dn = toa_dn * cat([ones, cumtrans])                   # borders 0..nz
     sw_sfc_dn = sl(f_dn, nz, nz + 1)
@@ -122,8 +148,11 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
     # reflected beam travels back up with diffuse path factor 1.66
     trans_up = jnp.exp(-tau_sw * 1.66)
     refl = albedo * sw_sfc_dn
-    cumtrans_up = jnp.flip(jnp.cumprod(jnp.flip(trans_up, kax), axis=kax),
-                           kax)
+    # upward cumulative transmission from the surface: row k holds the
+    # product of trans_up[k:], built by a reverse sweep
+    cumtrans_up = seq(lambda c, x: c * x[0],
+                      jnp.ones_like(sl(trans_up, 0, 1)), (trans_up,),
+                      reverse=True)
     f_up = refl * cat([cumtrans_up, ones])
     # net SW absorbed per layer (down-beam loss + up-beam loss)
     abs_sw = (sl(f_dn, 0, nz) - sl(f_dn, 1, nz + 1)) \
@@ -136,23 +165,16 @@ def gray_radiation_core(kax: int, nz: int, mass, dp, tair, qv, qc, b_sfc,
     b = c.SIGMA_SB * tair ** 4
     a, e_b = 1.0 - eps, eps * b
 
-    def affine_compose(p, q):
-        # (a1,c1) then (a2,c2): x -> a2*(a1*x + c1) + c2
-        a1, c1 = p
-        a2, c2 = q
-        return a1 * a2, c1 * a2 + c2
-
     # downward sweep: D[0] = 0; D[k+1] = D[k]*(1-eps_k) + eps_k*B_k
-    #   => D[k+1] is the prefix-composed offset term (zero initial value)
-    _, c_dn = jax.lax.associative_scan(affine_compose, (a, e_b), axis=kax)
+    c_dn = seq(lambda d, x: d * x[0] + x[1],
+               jnp.zeros_like(sl(a, 0, 1)), (a, e_b))
     zeros = jnp.zeros_like(sl(c_dn, 0, 1))
     f_dn_lw = cat([zeros, c_dn])                            # borders 0..nz
     # upward sweep from the (emissivity-1) surface at tsurf:
     #   U[nz] = B_sfc; U[k] = U[k+1]*(1-eps_k) + eps_k*B_k
-    a_up, c_up = jax.lax.associative_scan(
-        affine_compose, (jnp.flip(a, kax), jnp.flip(e_b, kax)), axis=kax)
-    f_up_lw = cat([jnp.flip(a_up, kax) * b_sfc + jnp.flip(c_up, kax),
-                   b_sfc])                                  # borders 0..nz
+    u_up = seq(lambda u, x: u * x[0] + x[1],
+               b_sfc * jnp.ones_like(sl(a, 0, 1)), (a, e_b), reverse=True)
+    f_up_lw = cat([u_up, b_sfc])                            # borders 0..nz
 
     net_up = f_up_lw - f_dn_lw                              # borders 0..nz
     # layer k gains net_up[k+1] - net_up[k]

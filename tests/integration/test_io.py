@@ -348,3 +348,19 @@ def test_checkpoint_fingerprint_backward_compat():
     if os.path.exists(path):
         with np.load(path) as z:
             assert bytes(z["_fingerprint"]).decode() == expected
+
+
+def test_fingerprint_ignores_default_valued_fields():
+    """The structural property behind the fixture above: the hash covers
+    only NON-DEFAULT fields, so growing the config surface (a new switch
+    with a default value) cannot orphan existing restarts (round 4 —
+    adding the convection flag would otherwise have invalidated every
+    committed checkpoint)."""
+    from climate_model_tpu.core.config import PhysicsConfig
+    from climate_model_tpu.io.checkpoint import _non_default_fields
+
+    assert _non_default_fields(PhysicsConfig()) == {}
+    assert _non_default_fields(PhysicsConfig(radiation=True)) \
+        == {"radiation": True}
+    # explicitly writing the default is the same as omitting it
+    assert _non_default_fields(PhysicsConfig(convection=False)) == {}
