@@ -24,7 +24,8 @@ import numpy as np
 import pytest
 
 from climate_model_tpu.core.config import (GridConfig, ModelConfig,
-                                           NumericsConfig, PhysicsConfig)
+                                           NumericsConfig, PhysicsConfig,
+                                           default_diffusion)
 from climate_model_tpu.core.init import initialize
 from climate_model_tpu.io.metrics import diagnostics
 from climate_model_tpu.model import make_run_fn
