@@ -260,14 +260,21 @@ def cmd_run(args) -> int:
 
 
 def cmd_plot(args) -> int:
-    from .io.plot import quicklook_nc, quicklook_npz
+    from .io.plot import (quicklook_nc, quicklook_npz, timeseries_jsonl,
+                          zonal_mean_npz)
     out = args.out or (args.nc.rsplit(".", 1)[0] + ".png")
+    if args.nc.endswith(".jsonl"):      # run metrics -> climate time series
+        print(timeseries_jsonl(args.nc, out))
+        return 0
     if args.nc.endswith(".npz"):        # restart checkpoint (--no-nc runs)
         grid_cfg = None
         if args.config or args.baseline:
             grid_cfg = build_config(args).grid
-        print(quicklook_npz(args.nc, out, level=args.level,
-                            grid_cfg=grid_cfg))
+        if getattr(args, "zonal", False):
+            print(zonal_mean_npz(args.nc, out, grid_cfg=grid_cfg))
+        else:
+            print(quicklook_npz(args.nc, out, level=args.level,
+                                grid_cfg=grid_cfg))
     else:
         print(quicklook_nc(args.nc, out, level=args.level))
     return 0
@@ -426,11 +433,15 @@ def main(argv=None) -> int:
                     help="write a jax.profiler trace here")
     pp.set_defaults(fn=cmd_profile)
 
-    pl_ = sub.add_parser("plot", help="quicklook PNG from an out_XXXX.nc "
-                                      "or a restart.npz checkpoint")
+    pl_ = sub.add_parser("plot", help="quicklook PNG from an out_XXXX.nc, "
+                                      "a restart.npz checkpoint, or a "
+                                      "metrics.jsonl (climate time series)")
     pl_.add_argument("nc")
     pl_.add_argument("--out", default=None)
     pl_.add_argument("--level", type=int, default=-1)
+    pl_.add_argument("--zonal", action="store_true",
+                     help="zonal-mean cross-sections (u/T/q vs lat-sigma) "
+                          "instead of the map quicklook (npz input)")
     pl_.add_argument("--config", default=None,
                      help="run's TOML namelist (checkpoint quicklooks: "
                           "supplies ptop + lat/lon extents)")

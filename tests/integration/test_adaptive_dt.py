@@ -66,7 +66,8 @@ def test_adaptive_dt_pallas_backend(tmp_path):
 
 def test_no_nc_run_and_npz_quicklook(tmp_path):
     """--no-nc keeps metrics + restart only; plot renders straight from the
-    checkpoint (the slow-device-link workflow, README usage)."""
+    checkpoint (the slow-device-link workflow, README usage) — map
+    quicklook, zonal-mean cross-sections, and the metrics time series."""
     rc = main(["run", "--nx", "32", "--ny", "16", "--nz", "4",
                "--days", "0.02", "--no-nc", "--out-dir", str(tmp_path)])
     assert rc == 0
@@ -75,6 +76,14 @@ def test_no_nc_run_and_npz_quicklook(tmp_path):
     rc = main(["plot", str(tmp_path / "restart.npz")])
     assert rc == 0
     assert (tmp_path / "restart.png").exists()
+    rc = main(["plot", str(tmp_path / "restart.npz"), "--zonal",
+               "--out", str(tmp_path / "zonal.png")])
+    assert rc == 0
+    assert os.path.getsize(tmp_path / "zonal.png") > 10_000
+    rc = main(["plot", str(tmp_path / "metrics.jsonl"),
+               "--out", str(tmp_path / "series.png")])
+    assert rc == 0
+    assert os.path.getsize(tmp_path / "series.png") > 10_000
 
 
 def test_cli_exact_horizon_resume_and_nc_sequence(tmp_path):
