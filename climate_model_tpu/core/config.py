@@ -74,8 +74,8 @@ class PhysicsConfig:
     # where a column is near-saturated and moist-unstable, the scalar
     # vertical diffusivity is raised to conv_diffusivity so the
     # instability mixes out instead of building a grid-point storm
-    # (physics/turbulence.py::convective_k). jnp backend only for now;
-    # the pallas builders refuse the flag loudly.
+    # (physics/turbulence.py::convective_k; the fused kernel's physics
+    # epilogue carries the same math, so the flag works on BOTH backends).
     convection: bool = False
     conv_diffusivity: float = 100.0    # enhanced K_h on unstable interfaces
     conv_rh_crit: float = 0.95         # both layers this close to saturation

@@ -782,7 +782,8 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
             # [ctr0, ctr0+bj)). u2/v2 need valid wrap columns first (their
             # ghost-column values were computed from clamp garbage).
             (w_srf, w_trb, w_mic, drag_coef, soil_cap, ocean_cap,
-             qc_tau, qc_thr, k_scalar, k_mom, w_soil, sm_cap) = phys
+             qc_tau, qc_thr, k_scalar, k_mom, w_soil, sm_cap,
+             w_conv, conv_k, conv_rh) = phys
             u2 = fix_ghost_cols(u2)
             v2 = fix_ghost_cols(v2)
             # pt2 feeds laterally-shifted dz/rho in the turbulence epilogue
@@ -904,11 +905,31 @@ def make_fused_substep_packed(nz: int, ny: int, nx: int, *, bj: int,
                     flux = jnp.concatenate([zz, flux, zz], axis=1)
                     return x + dt * (flux[:, 1:] - flux[:, :-1]) / (rc * dzc)
 
-                pt2 = diffuse(pt2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn)
+                # scalar K; + per-interface moist-convective enhancement
+                # (physics/turbulence.py::convective_k, same traced math —
+                # near-saturated interfaces with saturation-theta_e
+                # decreasing upward mix at conv_k instead of k_scalar)
+                ks_eff = k_scalar
+                if w_conv:
+                    pair_t = 0.5 * (pvbn_lo + pvbn_hi)
+                    tc_t = tair_n - c.T_ZERO_C
+                    esat_t = c.MAGNUS_E0 * jnp.exp(
+                        c.MAGNUS_A * tc_t / (tc_t + c.MAGNUS_B))
+                    den_t = pair_t - (1.0 - c.EPS_V) * esat_t
+                    qs_t = c.EPS_V * esat_t / jnp.where(den_t > 1.0, den_t,
+                                                        1.0)
+                    rh_t = qv2 / jnp.where(qs_t > 1e-10, qs_t, 1e-10)
+                    th_es = pt2 * jnp.exp(c.L_V * qs_t / (c.C_P * tair_n))
+                    rh_up, rh_lo = rh_t[:, :-1], rh_t[:, 1:]
+                    rh_min = jnp.where(rh_up < rh_lo, rh_up, rh_lo)
+                    fire = (rh_min > conv_rh) & (th_es[:, :-1] < th_es[:, 1:])
+                    ks_eff = k_scalar + jnp.where(fire, conv_k, 0.0)
+
+                pt2 = diffuse(pt2, ks_eff, dz_cn, dz_vbn, rho_vb, rho_cn)
                 qv2 = relu(
-                    diffuse(qv2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn))
+                    diffuse(qv2, ks_eff, dz_cn, dz_vbn, rho_vb, rho_cn))
                 qc2 = relu(
-                    diffuse(qc2, k_scalar, dz_cn, dz_vbn, rho_vb, rho_cn))
+                    diffuse(qc2, ks_eff, dz_cn, dz_vbn, rho_vb, rho_cn))
                 dz_c_u = 0.5 * (_w(dz_cn) + dz_cn)
                 dz_vb_u = 0.5 * (_w(dz_vbn) + dz_vbn)
                 rvb_u = 0.5 * (_w(rho_vb) + rho_vb)

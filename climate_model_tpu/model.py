@@ -72,12 +72,6 @@ def check_pallas_dtype(cfg: ModelConfig) -> None:
             "backend='pallas' supports float64 only in interpret mode on "
             "CPU (the kernel test path); TPU Mosaic has no f64 — use "
             "backend='jnp' for float64 runs, or dtype='float32' here")
-    if cfg.physics.convection:
-        raise ValueError(
-            "the moist-convective mixing guard (physics.convection) is "
-            "implemented on the jnp backend only (experimental, round 4); "
-            "the fused-kernel physics epilogue does not carry it yet — "
-            "use backend='jnp' or disable the flag")
 
 
 def phys_epilogue_tuple(cfg: ModelConfig):
@@ -91,7 +85,9 @@ def phys_epilogue_tuple(cfg: ModelConfig):
             phys.ocean_heat_capacity, phys.qc_autoconv_time,
             phys.qc_autoconv_threshold, phys.diff_coef_scalar,
             phys.diff_coef_momentum,
-            phys.surface and phys.soil_moisture, phys.soil_moist_cap)
+            phys.surface and phys.soil_moisture, phys.soil_moist_cap,
+            phys.turbulence and phys.convection, phys.conv_diffusivity,
+            phys.conv_rh_crit)
 
 
 def make_packed_step_fn(cfg: ModelConfig, bj: int):

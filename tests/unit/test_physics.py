@@ -278,17 +278,54 @@ def test_convective_guard_matches_oracle():
             rtol=1e-9, atol=1e-12, err_msg=name)
 
 
-def test_convection_refused_on_pallas():
+def test_convective_guard_pallas_matches_jnp(monkeypatch):
+    """The convection guard rides in the fused kernel's physics epilogue
+    too (same traced math as turbulence.py::convective_k): packed pallas
+    full model == jnp full model with the flag ON, on a seeded
+    moist-unstable state so the enhanced-K branch actually fires."""
+    import dataclasses
+
+    import jax
+
+    monkeypatch.setenv("CLIMATE_TPU_PACKED_SCAN", "1")
     from climate_model_tpu.model import make_chunk_runner
 
     cfg = ModelConfig(
-        grid=GridConfig(nx=32, ny=16, nz=8),
-        physics=PhysicsConfig(turbulence=True, convection=True),
-        backend="pallas",
-    )
-    import pytest
-    with pytest.raises(ValueError, match="convection"):
-        make_chunk_runner(cfg, 1)
+        grid=GridConfig(nx=32, ny=16, nz=8), dtype="float64",
+        physics=PhysicsConfig(microphysics=True, radiation=True,
+                              surface=True, turbulence=True,
+                              convection=True, conv_diffusivity=200.0,
+                              rad_every_steps=2))
+    st, fo, grid_np = initial_state_np(cfg)
+    # moist-unstable saturated lower troposphere (as in the oracle test)
+    st["pott"][-4:] = 295.0
+    sig = grid_np.sigma[:, None, None]
+    pair = grid_np.ptop + sig * st["colp"][None]
+    tair = st["pott"] * (pair / c.P_REF) ** c.KAPPA
+    from climate_model_tpu.physics.thermo import qsat_water
+    st["qv"][-4:] = qsat_water(tair, pair, np)[-4:]
+    grid = make_grid(cfg.grid, cfg.numerics, dtype=jnp.float64)
+    state, forcing = _jnp_state(st, fo, cfg)
+
+    ref = state
+    step = make_step_fn(cfg)
+    for _ in range(3):
+        ref = step(ref, grid, forcing)
+    # vacuity check: the guard changed the answer vs convection off
+    off = cfg.replace(physics=dataclasses.replace(cfg.physics,
+                                                  convection=False))
+    ref_off = state
+    step_off = make_step_fn(off)
+    for _ in range(3):
+        ref_off = step_off(ref_off, grid, forcing)
+    assert np.abs(np.asarray(ref.qv - ref_off.qv)).max() > 0.0
+
+    out = make_chunk_runner(cfg.replace(backend="pallas"), 3)(state, grid,
+                                                              forcing)
+    for name in ("u", "v", "colp", "pott", "qv", "qc", "tsurf", "rain"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-9, atol=1e-10, err_msg=name)
 
 
 def test_soil_hydrology_budget():
