@@ -19,15 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (usually already imported; config still mutable)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# tests/tpu's on-device gates (opt-in CLIMATE_TPU_RUN_TPU=1) need the REAL
+# accelerator backend; everything else pins CPU + fp64 + 8 virtual devices.
+_want_tpu = os.environ.get("CLIMATE_TPU_RUN_TPU") == "1"
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-assert jax.devices()[0].platform == "cpu", (
-    "tests must run on CPU; backend was initialized before conftest could "
-    "reconfigure it")
-assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+if not _want_tpu:
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU; backend was initialized before conftest "
+        "could reconfigure it")
+    assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
