@@ -77,6 +77,8 @@ def build_config(args) -> "ModelConfig":
     if getattr(args, "adaptive_dt", False):
         cfg = cfg.replace(numerics=_dc.replace(cfg.numerics,
                                                adaptive_dt=True))
+    if getattr(args, "convection", False):
+        cfg = cfg.replace(physics=_dc.replace(cfg.physics, convection=True))
     from .core.config import resolve_rad_interval
     return resolve_rad_interval(cfg)
 
@@ -108,7 +110,8 @@ def cmd_run(args) -> int:
         # a relaunched run picks up its own last periodic checkpoint
         restart_from = auto_ckpt
     if restart_from:
-        state = load_checkpoint(restart_from, cfg)
+        state = load_checkpoint(restart_from, cfg,
+                                force=getattr(args, "force_resume", False))
         print(f"resumed from {restart_from} at step {int(state.step)}")
 
     dt = float(grid.dt)
@@ -360,6 +363,11 @@ def main(argv=None) -> int:
     pr.add_argument("--restart-every-days", type=float, default=None,
                     help="checkpoint cadence (i_restart_nth_day analogue)")
     pr.add_argument("--restart-from", default=None)
+    pr.add_argument("--force-resume", action="store_true",
+                    help="resume even if the checkpoint's config "
+                         "fingerprint mismatches (branch a physics-"
+                         "perturbation experiment from a common spin-up; "
+                         "warns loudly instead of refusing)")
     pr.add_argument("--auto-resume", action="store_true",
                     help="resume from this out-dir's own last periodic "
                          "checkpoint if one exists (failure-recovery loop: "
@@ -385,6 +393,10 @@ def main(argv=None) -> int:
                     help="recompute dt per chunk from CFL and the current "
                          "max wind (reference per-step dt; both backends — "
                          "the fused kernel takes dt as a runtime operand)")
+    pr.add_argument("--convection", action="store_true",
+                    help="enable the moist-convective mixing guard "
+                         "(physics.convection; default off for reference "
+                         "parity — see PhysicsConfig)")
     pr.add_argument("--no-nc", action="store_true",
                     help="skip NetCDF field dumps (JSONL metrics + restart "
                          "checkpoints only — e.g. when the device->host "

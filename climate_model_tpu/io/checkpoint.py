@@ -97,18 +97,29 @@ def save_checkpoint(path: str, state: State, cfg: ModelConfig,
     os.replace(tmp, path)
 
 
-def _check_fingerprint(z, cfg: ModelConfig, path: str):
+def _check_fingerprint(z, cfg: ModelConfig, path: str, force: bool = False):
     fp = bytes(z["_fingerprint"]).decode()
     want = config_fingerprint(cfg)
     if fp != want:
+        if force:
+            # physics-perturbation branch from a common spin-up (a core
+            # climate-model workflow; CLI --force-resume): proceed loudly.
+            print(f"WARNING: {path}: fingerprint {fp} != current {want}; "
+                  "resuming anyway (--force-resume: branched experiment)",
+                  flush=True)
+            return
         raise ValueError(
             f"checkpoint {path}: config fingerprint {fp} != current {want}; "
-            "refusing to resume with a different configuration")
+            "refusing to resume with a different configuration (pass "
+            "--force-resume to branch a perturbation experiment from this "
+            "state on purpose)")
 
 
-def load_checkpoint(path: str, cfg: ModelConfig) -> State:
+def load_checkpoint(path: str, cfg: ModelConfig,
+                    force: bool = False) -> State:
     """Bit-exact resume; raises on config mismatch (the reference silently
-    trusted the pickle; we verify).
+    trusted the pickle; we verify). ``force=True`` downgrades the mismatch
+    to a warning — the deliberate physics-perturbation-branch workflow.
 
     Accepts either a single-process checkpoint at ``path`` or a multi-host
     set ``path.p0..pN`` (SURVEY.md §3.4: per-host shard files): the shard
@@ -117,7 +128,7 @@ def load_checkpoint(path: str, cfg: ModelConfig) -> State:
     different process count than the save)."""
     if os.path.exists(path):
         with np.load(path) as z:
-            _check_fingerprint(z, cfg, path)
+            _check_fingerprint(z, cfg, path, force)
             kw = {f.name: jax.numpy.asarray(z[f.name])
                   for f in dataclasses.fields(State)}
         return State(**kw)
@@ -130,7 +141,7 @@ def load_checkpoint(path: str, cfg: ModelConfig) -> State:
     pieces: dict = {}
     for pf in shard_files:
         with np.load(pf) as z:
-            _check_fingerprint(z, cfg, pf)
+            _check_fingerprint(z, cfg, pf, force)
             for key in z.files:
                 if key == "_fingerprint":
                     continue

@@ -315,6 +315,10 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
         cfg.numerics, diff_uv=12345.0))
     with pytest.raises(ValueError, match="fingerprint"):
         load_checkpoint(path, retuned)
+    # ... unless the mismatch is a deliberate perturbation branch
+    # (CLI --force-resume): loads with a warning, bytes unchanged
+    forced = load_checkpoint(path, retuned, force=True)
+    np.testing.assert_array_equal(np.asarray(forced.u), np.asarray(state.u))
 
 
 def test_checkpoint_fingerprint_backward_compat():
