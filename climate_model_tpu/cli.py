@@ -89,7 +89,7 @@ def cmd_run(args) -> int:
 
     from .core.init import initialize
     from .dycore.stepper import run_scan
-    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.checkpoint import load_checkpoint_ex, save_checkpoint
     from .io.metrics import MetricsLogger, diagnostics
     from .io.netcdf import NCWriter
 
@@ -110,9 +110,21 @@ def cmd_run(args) -> int:
         # a relaunched run picks up its own last periodic checkpoint
         restart_from = auto_ckpt
     if restart_from:
-        state = load_checkpoint(restart_from, cfg,
-                                force=getattr(args, "force_resume", False))
+        state, mismatch = load_checkpoint_ex(
+            restart_from, cfg, force=getattr(args, "force_resume", False))
         print(f"resumed from {restart_from} at step {int(state.step)}")
+        if mismatch and args.out_dir and jax.process_index() == 0:
+            # persist the branch provenance (ADVICE r4): a --force-resume
+            # from a mismatched config is a deliberate experiment branch,
+            # and its lineage should outlive transient stdout
+            import json as _json
+            os.makedirs(args.out_dir, exist_ok=True)
+            with open(os.path.join(args.out_dir, "forced_branch.jsonl"),
+                      "a") as f:
+                f.write(_json.dumps(dict(
+                    time=time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    restart_from=restart_from, step=int(state.step),
+                    mismatch=mismatch)) + "\n")
 
     dt = float(grid.dt)
     n_total = max(int(cfg.sim_days * 86400.0 / dt), 1)

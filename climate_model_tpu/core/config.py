@@ -132,6 +132,11 @@ class NumericsConfig:
     # margin (grid.adaptive_cfl_dt: the margin floor is load-bearing).
     # Works on BOTH backends: the fused kernel takes dt as a runtime SMEM
     # operand, so chunk-to-chunk dt changes never recompile (round 3).
+    # Default False (tiny/test configs), but the production climatology
+    # presets #3-#5 and annual_2deg.toml turn it ON (round 5 — see
+    # baseline_config's docstring). A runtime-policy field: the checkpoint
+    # identity excludes it, so fixed-dt checkpoints resume under adaptive
+    # presets and vice versa (io/checkpoint.py _POLICY_FIELDS).
     adaptive_dt: bool = False
     wind_tendency: bool = True          # i_wind_tendency
     temperature_tendency: bool = True   # i_temperature_tendency
@@ -244,6 +249,16 @@ def baseline_config(n: int) -> ModelConfig:
     every 6 steps ~ 3.4 sim-minutes was far more frequent than reference
     parity and cost a measured ~3%). Returned configs are already passed
     through ``resolve_rad_interval`` (hours -> steps against the CFL dt).
+
+    They also run with ADAPTIVE dt (round 5, VERDICT r4 weak #1): the
+    committed year-long 1-deg run saw transient 204 m/s NH-winter jets —
+    1.25x past the +100 m/s design margin, ~2% from the measured ~1.27x
+    blow-up boundary (docs/STATUS.md round-3 addendum). ``adaptive_dt``
+    re-evaluates dt per scan chunk from the measured max wind and only
+    SHRINKS it below the init value (grid.adaptive_cfl_dt margin floor),
+    which is exactly the safety role the reference's per-step dt recompute
+    plays (SURVEY.md §3.1). Measured perf-neutral on v5e (dt is a runtime
+    SMEM operand of the fused kernel — no recompiles).
     """
     if n == 1:    # dry core, coarse, 100 steps, CPU allclose gate
         return ModelConfig(
@@ -263,14 +278,14 @@ def baseline_config(n: int) -> ModelConfig:
         return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=360, ny=180, nz=32),
             physics=PhysicsConfig(**full_phys),
-            numerics=_diffused_numerics(360),
+            numerics=_diffused_numerics(360, adaptive_dt=True),
             backend="pallas",
         ))
     if n == 4:    # 0.5 deg, multi-host domain decomposition
         return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=720, ny=360, nz=32),
             physics=PhysicsConfig(**full_phys),
-            numerics=_diffused_numerics(720),
+            numerics=_diffused_numerics(720, adaptive_dt=True),
             sharding=ShardingConfig(mesh_lat=2, mesh_lon=4, mode="shard_map"),
             backend="pallas",
         ))
@@ -278,7 +293,7 @@ def baseline_config(n: int) -> ModelConfig:
         return resolve_rad_interval(ModelConfig(
             grid=GridConfig(nx=1440, ny=720, nz=32),
             physics=PhysicsConfig(**full_phys),
-            numerics=_diffused_numerics(1440),
+            numerics=_diffused_numerics(1440, adaptive_dt=True),
             sharding=ShardingConfig(mesh_lat=4, mesh_lon=8, mode="shard_map"),
             sim_days=5.0,
             backend="pallas",

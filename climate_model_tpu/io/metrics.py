@@ -119,14 +119,21 @@ class MetricsLogger:
     def begin_session(self, resume_step: int = 0):
         """Make the JSONL resume-aware (VERDICT r3 weak #6: re-runs into the
         same out-dir used to append duplicate step lines). A fresh run
-        truncates any stale file; a resume drops lines beyond the resume
-        point (an earlier session's now-superseded future), so the file
-        always reads as ONE consistent timeline with monotone steps."""
+        ROTATES any non-empty file aside to ``metrics.jsonl.1`` (ADVICE r4:
+        silent truncation destroyed completed-run evidence when an out-dir
+        was reused); a resume drops lines beyond the resume point (an
+        earlier session's now-superseded future), so the live file always
+        reads as ONE consistent timeline with monotone steps."""
         import os
         if not (self.jsonl_path and os.path.exists(self.jsonl_path)):
             return
         if resume_step <= 0:
-            open(self.jsonl_path, "w").close()
+            if os.path.getsize(self.jsonl_path) > 0:
+                rotated = self.jsonl_path + ".1"
+                os.replace(self.jsonl_path, rotated)
+                if not self.quiet:
+                    print(f"note: previous run's {self.jsonl_path} rotated "
+                          f"to {rotated}", flush=True)
             return
         kept = []
         with open(self.jsonl_path) as f:

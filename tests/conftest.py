@@ -40,6 +40,23 @@ import pytest  # noqa: E402
 from climate_model_tpu.core.config import GridConfig, ModelConfig, NumericsConfig
 
 
+def pytest_collection_modifyitems(config, items):
+    """With CLIMATE_TPU_RUN_TPU=1 the whole pytest process runs on the REAL
+    TPU backend (the flag drops the CPU pin + fp64 above), so every test
+    OUTSIDE tests/tpu would execute with wrong dtype expectations over the
+    serializing device tunnel (ADVICE r4). Auto-skip them instead of
+    relying on the user to pass tests/tpu explicitly."""
+    if not _want_tpu:
+        return
+    skip = pytest.mark.skip(
+        reason="CLIMATE_TPU_RUN_TPU=1 selects the real-TPU backend; CPU "
+               "fp64 suites are auto-skipped (run them without the flag)")
+    for item in items:
+        path = str(item.fspath).replace(os.sep, "/")
+        if "/tests/tpu/" not in path:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def small_cfg() -> ModelConfig:
     """Tiny grid for fast unit tests; fp64 for oracle comparison."""

@@ -104,6 +104,28 @@ with jax.default_device(jax.local_devices()[0]):
         jax.jit(make_chunk_runner(cfgp, 2))(statep, gridp, forcingp))
 np.testing.assert_allclose(u_p, np.asarray(refp.u), rtol=0, atol=1e-6)
 
+# --- halo-overlap schedule ACROSS REAL PROCESS BOUNDARIES (VERDICT r4
+# next #5): the seam-strip kernels + concurrent lat collectives are
+# exactly the code whose ppermutes cross DCN on a pod (mesh_lat=2 puts
+# the lat seam between the two processes here). Must match the blocking
+# schedule's unsharded reference to the same bound. ---
+import dataclasses as _dc
+
+cfgo = cfgp.replace(sharding=_dc.replace(cfgp.sharding, halo_overlap=True))
+runo = make_packed_sharded_runner(cfgo, mesh, gp, n_steps=2)
+outo = jax.block_until_ready(runo(sp, gp, fp))
+u_o = multihost_utils.process_allgather(outo.u, tiled=True)
+qv_o = multihost_utils.process_allgather(outo.qv, tiled=True)
+# vs the BLOCKING schedule's output: the overlap schedule computes the
+# seam rows in separate strip kernels, so its fp32 program reassociates
+# FMAs differently — the documented bound is program-level fp32 noise
+# (~1e-5 relative; exact equality holds at fp64, test_packed_sharded.py)
+u_b = multihost_utils.process_allgather(outp.u, tiled=True)
+qv_b = multihost_utils.process_allgather(outp.qv, tiled=True)
+np.testing.assert_allclose(u_o, u_b, rtol=0, atol=3e-5)
+np.testing.assert_allclose(qv_o, qv_b, rtol=0, atol=1e-8)
+np.testing.assert_allclose(u_o, np.asarray(refp.u), rtol=0, atol=3e-5)
+
 # --- the CLI driver itself on the live multi-process runtime: cmd_run's
 # multihost surface (grid/forcing as jit arguments — a closed-over
 # non-addressable array is a jit error; host-0-only logger + NetCDF;

@@ -104,5 +104,5 @@ def test_multihost_fingerprint_refused(tmp_path, sharded_state):
     base = tmp_path / "restart.npz"
     save_checkpoint(str(base), state, cfg, _force_multi=True)
     other = cfg.replace(grid=GridConfig(nx=32, ny=16, nz=4))
-    with pytest.raises(ValueError, match="fingerprint"):
+    with pytest.raises(ValueError, match="config mismatch"):
         load_checkpoint(str(base), other)

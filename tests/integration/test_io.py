@@ -50,7 +50,7 @@ def test_checkpoint_refuses_config_mismatch(small_run, tmp_path):
     save_checkpoint(path, state, cfg)
     other = cfg.replace(dtype="float32")
     assert config_fingerprint(other) != config_fingerprint(cfg)
-    with pytest.raises(ValueError, match="fingerprint"):
+    with pytest.raises(ValueError, match="config mismatch"):
         load_checkpoint(path, other)
 
 
@@ -176,7 +176,14 @@ def test_metrics_logger_resume_aware(tmp_path):
     lg.begin_session(200)
     steps = [json.loads(l)["step"] for l in open(path)]
     assert steps == [100, 200]
-    # fresh run: truncated entirely
+    # fresh run: the old history is ROTATED aside, not destroyed
+    # (ADVICE r4: truncation silently lost completed-run evidence)
+    MetricsLogger(jsonl_path=path, quiet=True).begin_session(0)
+    assert not os.path.exists(path)
+    steps = [json.loads(l)["step"] for l in open(path + ".1")]
+    assert steps == [100, 200]
+    # an empty stale file is simply removed from the way (nothing to keep)
+    open(path, "w").close()
     MetricsLogger(jsonl_path=path, quiet=True).begin_session(0)
     assert open(path).read() == ""
 
@@ -290,6 +297,8 @@ def test_baseline_toml_presets_match_coded_presets():
             assert abs(tv - cv) <= 1e-9 * max(abs(cv), 1.0), (n, f, tv, cv)
         assert (toml_cfg.numerics.moisture_tendency
                 == code_cfg.numerics.moisture_tendency), n
+        assert (toml_cfg.numerics.adaptive_dt
+                == code_cfg.numerics.adaptive_dt), n
         assert toml_cfg.backend == code_cfg.backend, n
 
 
@@ -313,7 +322,8 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
     np.testing.assert_array_equal(np.asarray(back.u), np.asarray(state.u))
     retuned = cfg.replace(numerics=dataclasses.replace(
         cfg.numerics, diff_uv=12345.0))
-    with pytest.raises(ValueError, match="fingerprint"):
+    # the refusal names the differing field (round 5: full-value record)
+    with pytest.raises(ValueError, match="numerics.diff_uv"):
         load_checkpoint(path, retuned)
     # ... unless the mismatch is a deliberate perturbation branch
     # (CLI --force-resume): loads with a warning, bytes unchanged
@@ -321,50 +331,117 @@ def test_checkpoint_resume_across_run_settings(small_run, tmp_path):
     np.testing.assert_array_equal(np.asarray(forced.u), np.asarray(state.u))
 
 
-def test_checkpoint_fingerprint_backward_compat():
-    """Pin fingerprint stability across config-surface evolution: the
-    fingerprint of the flagship adaptive config is pinned to a committed
-    text fixture (written when the last INTENTIONAL physics-default change
-    landed), so accidentally adding a config field to the hash — or
-    resolving sugar fields like rad_every_hours into it — fails here
-    before it orphans users' restart files. The fixture is tiny on purpose
-    (ADVICE r3: the old form loaded a 51 MB committed checkpoint and broke
-    with FileNotFoundError on artifact-pruned checkouts); when a default
-    legitimately changes, regenerate it with the command in the file."""
+def test_checkpoint_legacy_fingerprint_accepted():
+    """Checkpoints saved BEFORE the round-5 full-value identity record
+    carry only the delta-hash ``_fingerprint``; loads must still accept
+    them via the exact legacy hash computation. The legacy hash of the
+    flagship adaptive config is pinned to a committed text fixture, so the
+    legacy algorithm cannot silently drift while legacy checkpoints exist
+    (every committed out_*/restart.npz through round 4 is one)."""
     import dataclasses
     import os
 
     from climate_model_tpu.core.config import baseline_config
+    from climate_model_tpu.io.checkpoint import _legacy_fingerprints
 
     fixture = os.path.join(os.path.dirname(__file__), "..", "fixtures",
                            "fingerprint_baseline3_adaptive.txt")
     expected = [ln for ln in open(fixture)
                 if ln.strip() and not ln.startswith("#")][0].strip()
-    cfg = baseline_config(3)
-    cfg = cfg.replace(numerics=dataclasses.replace(cfg.numerics,
-                                                   adaptive_dt=True))
-    assert config_fingerprint(cfg) == expected
+    cfg = baseline_config(3)   # presets carry adaptive_dt=True since round 5
+    assert cfg.numerics.adaptive_dt
+    # dual accept: saved by an adaptive run (hash included the then-
+    # non-default adaptive_dt=True) or a fixed-dt run (it did not)
+    assert expected in _legacy_fingerprints(cfg)
+    assert config_fingerprint(cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, adaptive_dt=False))) == config_fingerprint(cfg)
 
-    # and the committed adaptive-run checkpoint (if this checkout carries
-    # run artifacts) must have been written under exactly that fingerprint
+    # the committed adaptive-run checkpoint (if this checkout carries run
+    # artifacts) is a real legacy file: it must verify against the current
+    # flagship preset
     path = os.path.join(os.path.dirname(__file__), "..", "..",
                         "out_adapt", "restart.npz")
     if os.path.exists(path):
+        from climate_model_tpu.io.checkpoint import _config_mismatch
         with np.load(path) as z:
             assert bytes(z["_fingerprint"]).decode() == expected
+            assert "_config_json" not in z.files       # genuinely legacy
+            assert _config_mismatch(z, cfg) is None
 
 
-def test_fingerprint_ignores_default_valued_fields():
-    """The structural property behind the fixture above: the hash covers
-    only NON-DEFAULT fields, so growing the config surface (a new switch
-    with a default value) cannot orphan existing restarts (round 4 —
-    adding the convection flag would otherwise have invalidated every
-    committed checkpoint)."""
-    from climate_model_tpu.core.config import PhysicsConfig
-    from climate_model_tpu.io.checkpoint import _non_default_fields
+def _rewrite_config_json(path, mutate):
+    """Rewrite a saved checkpoint's _config_json record through ``mutate``
+    (None drops the record entirely -> legacy hash-only file)."""
+    import json as _json
+    with np.load(path) as z:
+        items = {k: z[k] for k in z.files}
+    if mutate is None:
+        del items["_config_json"]
+    else:
+        rec = _json.loads(bytes(items["_config_json"]).decode())
+        mutate(rec)
+        items["_config_json"] = np.frombuffer(
+            _json.dumps(rec, sort_keys=True).encode(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **items)
+    os.replace(tmp, path)
 
-    assert _non_default_fields(PhysicsConfig()) == {}
-    assert _non_default_fields(PhysicsConfig(radiation=True)) \
-        == {"radiation": True}
-    # explicitly writing the default is the same as omitting it
-    assert _non_default_fields(PhysicsConfig(convection=False)) == {}
+
+def test_checkpoint_detects_default_retune(small_run, tmp_path):
+    """THE hole the round-5 record closes (ADVICE r4 medium): a checkpoint
+    saved when a physics field equaled the THEN-default must refuse to
+    resume after the default is retuned. Simulated by rewriting the saved
+    record to the old default value (e.g. the pre-round-4 ocean albedo)
+    while the current config sits at the new default — the old delta-hash
+    was blind to exactly this (both sides omitted the field)."""
+    cfg, state, forcing, grid = small_run
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, state, cfg)
+
+    def retune(rec):
+        assert rec["physics"]["albedo_ocean"] == cfg.physics.albedo_ocean
+        rec["physics"]["albedo_ocean"] = 0.08      # the pre-retune default
+    _rewrite_config_json(path, retune)
+    with pytest.raises(ValueError, match="physics.albedo_ocean"):
+        load_checkpoint(path, cfg)
+    # ... unless deliberately branched; the mismatch record names the field
+    from climate_model_tpu.io.checkpoint import load_checkpoint_ex
+    st, mismatch = load_checkpoint_ex(path, cfg, force=True)
+    assert mismatch == {"physics.albedo_ocean":
+                        {"saved": 0.08, "current": cfg.physics.albedo_ocean}}
+    np.testing.assert_array_equal(np.asarray(st.u), np.asarray(state.u))
+
+
+def test_checkpoint_identity_skips_unknown_and_policy_fields(small_run,
+                                                             tmp_path):
+    """Config-surface growth and runtime-policy flips never orphan
+    restarts: a field unknown to the current code is skipped (it was saved
+    by a NEWER or OLDER surface), and the policy fields (adaptive_dt,
+    rad_every_hours) are not part of the identity at all."""
+    import dataclasses
+
+    cfg, state, forcing, grid = small_run
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, state, cfg)
+    _rewrite_config_json(
+        path, lambda rec: rec["physics"].update(future_switch=True))
+    load_checkpoint(path, cfg)                      # unknown field: fine
+    # policy flip: fixed-dt save resumes under an adaptive config
+    adaptive = cfg.replace(numerics=dataclasses.replace(
+        cfg.numerics, adaptive_dt=True))
+    load_checkpoint(path, adaptive)
+    # and a TRUE legacy hash-only file (pre-round-5: delta-hash in
+    # _fingerprint, no record) still resumes under either policy
+    import json as _json
+
+    from climate_model_tpu.io.checkpoint import _legacy_fingerprints
+    legacy_fp = sorted(_legacy_fingerprints(cfg))[0]
+    _rewrite_config_json(path, None)
+    with np.load(path) as z:
+        items = {k: z[k] for k in z.files}
+    items["_fingerprint"] = np.frombuffer(legacy_fp.encode(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **items)
+    os.replace(tmp, path)
+    load_checkpoint(path, cfg)
+    load_checkpoint(path, adaptive)
