@@ -4,9 +4,12 @@
 
 Measures grid-points/s/chip for BASELINE config #3 (full physics columns at
 1 deg, 360x180x32 — the single-chip headline config in BASELINE.md) on the
-default device. ``vs_baseline`` is the fraction of the HBM speed-of-light
-roofline (the reference publishes no benchmark numbers; see BASELINE.md and
-climate_model_tpu/bench/roofline.py).
+default device. NAMING CAUTION: ``vs_baseline`` is the fraction of the HBM
+speed-of-light roofline, NOT a ratio against the reference implementation
+(which publishes no benchmark numbers; see BASELINE.md and
+climate_model_tpu/bench/roofline.py). The step is measured compute-bound at
+61% of the VPU element-throughput peak (bench/opcount.py audit), so the
+HBM fraction is structurally small for this op-mix.
 """
 
 import json
