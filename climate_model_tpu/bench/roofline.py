@@ -90,6 +90,31 @@ VPU_ELEM_RATE = {
     "v5e": 9.4e12,
 }
 
+# HARDWARE VPU element-throughput peak [fp32 elements/s]: 4 ALUs x (8,128)
+# lanes x 940 MHz on v5e. This is the rate the round-5 op-count audit
+# (bench/opcount.py) prices element-work at; ``vs_vpu_peak`` in bench
+# output is the measured fraction of THIS peak (0.61 at config #3), while
+# ``vs_vpu_roofline`` is the fraction of the ideal perfectly-operand-fused
+# rate above (a much higher bar; 0.25 at #3). README "Where the
+# performance ceiling actually is" reconciles the two. CAVEAT: the element
+# count prices every traced eqn, INCLUDING halo-row recompute and
+# slice/concat moves Mosaic can partially elide into addressing — at small
+# tile heights (bj=6 at 0.25 deg, halo amp 2.0) the over-count makes
+# ``vs_vpu_peak`` exceed 1.0; it is a priced MODEL, not a hardware law.
+# Read it comparatively across configs, not as an absolute utilization.
+VPU_PEAK_RATE = {
+    "v5 lite": 4096 * 0.94e9,
+    "v5e": 4096 * 0.94e9,
+}
+
+
+def device_vpu_peak(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, r in VPU_PEAK_RATE.items():
+        if key in kind:
+            return r
+    return 4096 * 0.94e9
+
 
 def device_vpu_rate(device) -> float:
     kind = getattr(device, "device_kind", "").lower()

@@ -135,7 +135,13 @@ def run_benchmark(baseline: int = 3, steps: int = 50, dtype: str = "float32",
     if backend == "pallas":
         # fully-fused VPU floor of the two dynamics kernels (ideal operand
         # fusion; bench/roofline.py VPU_ELEM_RATE) — the compute-side
-        # counterpart of the HBM roofline
+        # counterpart of the HBM roofline — plus the fraction of the
+        # HARDWARE VPU element-throughput peak (the round-5 audit's rate;
+        # bench/roofline.py VPU_PEAK_RATE reconciles the two)
+        from .roofline import device_vpu_peak
         vpu_s = _vpu_floor_s(cfg)
         out["vs_vpu_roofline"] = round(vpu_s / (best / steps), 4)
+        peak_s = vpu_s * device_vpu_rate(jax.devices()[0]) \
+            / device_vpu_peak(jax.devices()[0])
+        out["vs_vpu_peak"] = round(peak_s / (best / steps), 4)
     return out
