@@ -79,6 +79,10 @@ def build_config(args) -> "ModelConfig":
                                                adaptive_dt=True))
     if getattr(args, "convection", False):
         cfg = cfg.replace(physics=_dc.replace(cfg.physics, convection=True))
+    if getattr(args, "topo", None):
+        cfg = cfg.replace(topo=args.topo)
+    if getattr(args, "topo_file", None):
+        cfg = cfg.replace(topo_file=args.topo_file)
     from .core.config import resolve_rad_interval
     return resolve_rad_interval(cfg)
 
@@ -94,17 +98,12 @@ def cmd_run(args) -> int:
     from .io.netcdf import NCWriter
 
     cfg = build_config(args)
-    init_kw = {}
-    if getattr(args, "topo", None):
-        init_kw["kind"] = args.topo
-    if getattr(args, "topo_file", None):
-        init_kw["topo_file"] = args.topo_file
     if getattr(args, "multihost", False):
         # DCN multi-host runtime (SURVEY.md §2.2 comm-backend row): each
         # process owns its local TPU devices; collectives ride ICI within a
         # slice and DCN across hosts, all emitted by XLA.
         jax.distributed.initialize()
-    state, forcing, grid = initialize(cfg, **init_kw)
+    state, forcing, grid = initialize(cfg)
     auto_ckpt = (os.path.join(args.out_dir, "restart.npz")
                  if args.out_dir else None)
     restart_from = args.restart_from

@@ -171,6 +171,16 @@ class ModelConfig:
     sharding: ShardingConfig = ShardingConfig()
     dtype: str = "float32"              # working precision 'wp' of the reference
     backend: str = "jnp"                # 'jnp' | 'pallas' operator implementations
+    # Topography/land configuration (round 5). Part of the ModelConfig — not
+    # just an init argument — because forcing (hsurf/land/albedo) is REBUILT
+    # from it on every start: a resume must agree with the checkpoint's
+    # configuration or the state rides over the wrong mountains (the
+    # checkpoint identity record carries both fields, so a forgotten
+    # --topo on resume is refused instead of silently mis-forcing).
+    topo: str = "gaussian_mountain"     # 'gaussian_mountain'|'aquaplanet'|
+                                        # 'continents' (core/init.py)
+    topo_file: Optional[str] = None     # NetCDF elevation file (io/topo.py);
+                                        # overrides `topo` when set
     sim_days: float = 1.0
     out_every_hours: float = 6.0        # i_out_nth_hour
     restart_every_days: float = 1.0     # i_restart_nth_day

@@ -111,14 +111,18 @@ def continents_topography(grid_np):
     return hsurf, land
 
 
-def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
+def initial_state_np(cfg: ModelConfig, kind: str = None,
                      u_jet: float = 10.0, colp_pert: float = -500.0,
                      topo_file: str = None):
     """Build the IC in fp64 NumPy. Returns (state dict, forcing dict,
     grid_np). The jet and a gaussian COLP low excite dynamics (reference's
-    ``gaussian perturbation in UWIND or COLP`` [P]). ``topo_file`` (a
-    NetCDF elevation file, reference ETOPO-input parity) overrides the
-    synthetic ``kind``."""
+    ``gaussian perturbation in UWIND or COLP`` [P]). ``kind``/``topo_file``
+    default from ``cfg.topo``/``cfg.topo_file`` (the configured topography
+    is part of the checkpoint identity); explicit arguments override for
+    ad-hoc experiments. ``topo_file`` (a NetCDF elevation file, reference
+    ETOPO-input parity) overrides the synthetic ``kind``."""
+    kind = kind or cfg.topo
+    topo_file = topo_file or cfg.topo_file
     gc = cfg.grid
     grid_np = make_grid(gc, cfg.numerics, np_mode=True)
     nz, ny, nx = gc.nz, gc.ny, gc.nx
@@ -177,9 +181,9 @@ def initial_state_np(cfg: ModelConfig, kind: str = "gaussian_mountain",
     return state, forcing, grid_np
 
 
-def initialize(cfg: ModelConfig, kind: str = "gaussian_mountain",
-               **kw):
-    """Build (State, Forcing, Grid) as jnp arrays at the working dtype."""
+def initialize(cfg: ModelConfig, kind: str = None, **kw):
+    """Build (State, Forcing, Grid) as jnp arrays at the working dtype.
+    Topography defaults from ``cfg.topo``/``cfg.topo_file``."""
     dtype = jnp.dtype(cfg.dtype)
     st_np, fo_np, _ = initial_state_np(cfg, kind, **kw)
     grid = make_grid(cfg.grid, cfg.numerics, dtype=dtype)

@@ -73,7 +73,11 @@ def config_identity(cfg: ModelConfig) -> dict:
         grid=_all_fields(cfg.grid),
         physics=_all_fields(cfg.physics, drop=_POLICY_FIELDS["physics"]),
         numerics=_all_fields(cfg.numerics, drop=_POLICY_FIELDS["numerics"]),
-        dtype=cfg.dtype)
+        dtype=cfg.dtype,
+        # topography defines the forcing the state evolved over — a resume
+        # with different mountains is a different experiment (round 5;
+        # records saved before these fields existed skip the comparison)
+        topo=cfg.topo, topo_file=cfg.topo_file)
     return json.loads(json.dumps(ident, sort_keys=True, default=str))
 
 

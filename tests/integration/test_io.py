@@ -105,6 +105,60 @@ def test_cli_run_and_restart(tmp_path):
     assert rc == 0
 
 
+def test_cli_force_resume_persists_branch_provenance(tmp_path):
+    """--force-resume from a mismatched config must leave an auditable
+    record in the out-dir (ADVICE r4: the branch lineage used to live only
+    in transient stdout)."""
+    from climate_model_tpu.cli import main
+
+    out = str(tmp_path / "out")
+    rc = main(["run", "--nx", "16", "--ny", "10", "--nz", "4",
+               "--days", "0.05", "--dtype", "float64", "--out-dir", out,
+               "--no-nc"])
+    assert rc == 0
+    branch = str(tmp_path / "branch")
+    args = ["run", "--nx", "16", "--ny", "10", "--nz", "4",
+            "--days", "0.1", "--dtype", "float64", "--diff", "77.0",
+            "--restart-from", os.path.join(out, "restart.npz"),
+            "--out-dir", branch, "--no-nc"]
+    with pytest.raises(ValueError, match="numerics.diff_uv"):
+        main(args)                         # refused without --force-resume
+    rc = main(args + ["--force-resume"])
+    assert rc == 0
+    recs = [json.loads(l)
+            for l in open(os.path.join(branch, "forced_branch.jsonl"))]
+    assert recs[0]["mismatch"]["numerics.diff_uv"]["current"] == 77.0
+    assert recs[0]["restart_from"].endswith("restart.npz")
+
+
+def test_cli_topo_file(tmp_path):
+    """--topo-file: NetCDF elevation -> regrid -> run, end to end
+    (reference ETOPO-input parity through the CLI)."""
+    from scipy.io import netcdf_file
+
+    from climate_model_tpu.cli import main
+
+    slat = np.linspace(-85, 85, 60)
+    slon = np.linspace(0, 359, 120)
+    LA, LO = np.meshgrid(slat, slon, indexing="ij")
+    z = 3000.0 * np.exp(-(((LA - 35) / 12) ** 2 + ((LO - 100) / 15) ** 2)) \
+        - 2500.0
+    path = str(tmp_path / "etopo.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("lat", len(slat))
+        f.createDimension("lon", len(slon))
+        v = f.createVariable("lat", "d", ("lat",)); v[:] = slat
+        v = f.createVariable("lon", "d", ("lon",)); v[:] = slon
+        v = f.createVariable("z", "d", ("lat", "lon")); v[:] = z
+    out = str(tmp_path / "out")
+    rc = main(["run", "--nx", "24", "--ny", "12", "--nz", "4",
+               "--physics", "mic", "--days", "0.02", "--dtype", "float64",
+               "--topo-file", path, "--out-dir", out, "--no-nc"])
+    assert rc == 0
+    recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert recs and not any(r["nan"] for r in recs)
+
+
 def test_toml_namelist_roundtrip(tmp_path):
     from climate_model_tpu.core.namelist import load_config
 

@@ -59,6 +59,26 @@ def test_continents_model_runs_finite():
     assert float(jax.numpy.max(jax.numpy.abs(out.u))) < 80.0
 
 
+def test_topo_is_checkpoint_identity(tmp_path):
+    """Forcing (hsurf/land/albedo) is REBUILT from cfg.topo at every
+    start, so a resume must agree with the checkpoint's topography — a
+    continents checkpoint silently riding gaussian-mountain forcing was
+    the round-5 footgun this closes."""
+    import pytest
+
+    from climate_model_tpu.io.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+
+    cfg = ModelConfig(grid=GridConfig(nx=24, ny=12, nz=4),
+                      dtype="float64", topo="continents")
+    state, forcing, grid = initialize(cfg)
+    path = str(tmp_path / "restart.npz")
+    save_checkpoint(path, state, cfg)
+    with pytest.raises(ValueError, match="topo"):
+        load_checkpoint(path, cfg.replace(topo="gaussian_mountain"))
+    load_checkpoint(path, cfg)                     # matching topo: fine
+
+
 def test_cli_topo_flag(tmp_path):
     import json
     import os
