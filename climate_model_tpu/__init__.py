@@ -6,4 +6,4 @@ stepping, 2-D lat-lon domain decomposition over a TPU mesh, fused Pallas
 stencil kernels for the hot operators.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
